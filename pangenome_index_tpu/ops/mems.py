@@ -1,0 +1,176 @@
+"""Batched MEM finding: lane-per-read state machine on TPU.
+
+The reference finds MEMs one read at a time with data-dependent loops
+(find_mems_function / find_all_mems, algorithm.hpp:653-757). Here thousands
+of reads run in lockstep lanes inside one `lax.while_loop`; every iteration
+performs ONE bidirectional extension for every active lane (two rank6
+gathers), and per-lane phase logic advances the 3-step algorithm with masks.
+Divergence (reads at different phases/positions) costs idle lanes, not
+correctness - the algorithm, including dropout rules, the bint2 bookkeeping,
+and the P[e] NUL sentinel of step 3, matches models/mems.py exactly (tested
+lane-vs-scalar in tests/test_device_engine.py).
+
+Phases: 0 = start a find_mems_function call at x, 1/2/3 = the reference's
+three steps, 4 = read done. MEMs land in fixed-capacity per-lane buffers
+(capacity overflow is flagged, not silently dropped).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .fmd import extend
+from .tables import RIndexTables
+
+
+class MemResult(NamedTuple):
+    start: jax.Array   # [B, M]
+    end: jax.Array     # [B, M]
+    bwt_start: jax.Array  # [B, M]
+    size: jax.Array    # [B, M]
+    count: jax.Array   # [B] number of MEMs found (may exceed M)
+    overflow: jax.Array  # [B] bool: count exceeded capacity M
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def find_mems_batch(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
+                    min_len, min_occ, capacity: int = 32) -> MemResult:
+    """codes: [B, L] int32 (0-padded), lengths: [B]. Returns MemResult.
+
+    The pad column j == length reads code 0 - the reference's std::string NUL
+    sentinel behavior in step 3 (algorithm.hpp:722-732).
+    """
+    B, L = codes.shape
+    pd = t.pos_dtype
+    codes = jnp.pad(codes.astype(jnp.int32), ((0, 0), (0, 1)))
+    lengths = lengths.astype(pd)
+    min_len = jnp.asarray(min_len, pd)
+    min_occ = jnp.asarray(min_occ, pd)
+    N = t.n.astype(pd)
+    M = capacity
+    lanes = jnp.arange(B)
+
+    class S(NamedTuple):
+        phase: jax.Array
+        x: jax.Array
+        j: jax.Array
+        k: jax.Array
+        kp: jax.Array
+        s: jax.Array
+        k2: jax.Array
+        kp2: jax.Array
+        s2: jax.Array
+        m_start: jax.Array
+        m_end: jax.Array
+        m_bwt: jax.Array
+        m_size: jax.Array
+        cnt: jax.Array
+        it: jax.Array
+
+    z = jnp.zeros(B, pd)
+    zM = jnp.zeros((B, M), pd)
+    st = S(phase=jnp.zeros(B, jnp.int32), x=z, j=z, k=z, kp=z, s=z,
+           k2=z, kp2=z, s2=z, m_start=zM, m_end=zM, m_bwt=zM, m_size=zM,
+           cnt=jnp.zeros(B, jnp.int32), it=jnp.zeros((), jnp.int32))
+
+    max_iters = 4 * (L + 1) * (L + 1) + 64
+
+    def cond(st: S):
+        return (st.phase != 4).any() & (st.it < max_iters)
+
+    def body(st: S) -> S:
+        phase, x, j = st.phase, st.x, st.j
+        k, kp, s = st.k, st.kp, st.s
+        k2, kp2, s2 = st.k2, st.kp2, st.s2
+
+        # --- phase 0: begin a new find_mems_function call at x ---
+        p0 = phase == 0
+        finished = p0 & ((x >= lengths) | (lengths - x < min_len))
+        enter1 = p0 & ~finished
+        phase = jnp.where(finished, 4, jnp.where(enter1, 1, phase))
+        j = jnp.where(enter1, x + min_len - 1, j)
+        k = jnp.where(enter1, 0, k)
+        kp = jnp.where(enter1, 0, kp)
+        s = jnp.where(enter1, N, s)
+
+        # --- one extension step for all active lanes ---
+        p1, p2, p3 = phase == 1, phase == 2, phase == 3
+        act = p1 | p2 | p3
+        jc = jnp.clip(j, 0, L)
+        c = codes[lanes, jc]
+        nk, nkp, ns = extend(t, k, kp, s, c, forward=p2)
+        fail = act & ((ns < min_occ) | (ns <= 0))
+
+        # --- transitions ---
+        p1_fail = p1 & fail
+        p1_ok = p1 & ~fail
+        p1_boundary = p1_ok & ((j == x) | (j == 0))
+        p1_cont = p1_ok & ~p1_boundary
+        e1 = x + min_len
+        p1_to3 = p1_boundary & (e1 >= lengths)   # step 2 loop never runs
+        p1_to2 = p1_boundary & ~(e1 >= lengths)
+
+        p2_fail = p2 & fail
+        p2_ok = p2 & ~fail
+        p2_to3 = p2_ok & (j + 1 >= lengths)      # reached read end
+        p2_cont = p2_ok & ~p2_to3
+
+        p3_fail = p3 & fail
+        p3_ok = p3 & ~fail
+        p3_done = p3_ok & (j - 1 == x)
+        p3_cont = p3_ok & ~p3_done
+
+        # bint2 bookkeeping: set after a successful step-1 completion or any
+        # successful step-2 extension (algorithm.hpp:684-699)
+        upd2 = p1_boundary | p2_ok
+        k2 = jnp.where(upd2, nk, k2)
+        kp2 = jnp.where(upd2, nkp, kp2)
+        s2 = jnp.where(upd2, ns, s2)
+
+        # emits (entering step 3)
+        emit = p1_to3 | p2_fail | p2_to3
+        e_val = jnp.where(p1_to3, e1, jnp.where(p2_fail, j, lengths))
+
+        cnt_c = jnp.minimum(st.cnt, M - 1)
+        def put(buf, val):
+            old = buf[lanes, cnt_c]
+            return buf.at[lanes, cnt_c].set(jnp.where(emit & (st.cnt < M), val, old))
+        m_start = put(st.m_start, x)
+        m_end = put(st.m_end, e_val)
+        m_bwt = put(st.m_bwt, k2)
+        m_size = put(st.m_size, s2)
+        cnt = st.cnt + emit.astype(jnp.int32)
+
+        # new x / phase
+        x = jnp.where(p1_fail | p3_fail, j + 1, jnp.where(p3_done, x + 1, x))
+        phase = jnp.where(p1_fail | p3_fail | p3_done, 0, phase)
+        phase = jnp.where(p1_to2, 2, phase)
+        phase = jnp.where(emit, 3, phase)
+
+        # new j
+        j = jnp.where(p1_cont | p3_cont, j - 1, j)
+        j = jnp.where(p1_to2 | p1_to3, e1, j)
+        j = jnp.where(p2_cont, j + 1, j)
+        j = jnp.where(p2_to3, lengths, j)
+        # p2_fail: j stays (= e)
+
+        # new interval registers
+        keep_new = p1_cont | p1_to2 | p2_cont | p3_cont
+        k = jnp.where(keep_new, nk, k)
+        kp = jnp.where(keep_new, nkp, kp)
+        s = jnp.where(keep_new, ns, s)
+        restart3 = emit  # step 3 starts from the full interval
+        k = jnp.where(restart3, 0, k)
+        kp = jnp.where(restart3, 0, kp)
+        s = jnp.where(restart3, N, s)
+
+        return S(phase, x, j, k, kp, s, k2, kp2, s2,
+                 m_start, m_end, m_bwt, m_size, cnt, st.it + 1)
+
+    st = jax.lax.while_loop(cond, body, st)
+    return MemResult(st.m_start, st.m_end, st.m_bwt, st.m_size,
+                     st.cnt, st.cnt > M)

@@ -1,0 +1,87 @@
+"""Batched rank / LF primitives on the device tables.
+
+rank(pos, c) = cum[j, c] + (run_sym[j] == c) * (pos - run_start[j]) with
+j = searchsorted(run_start, pos, 'right') - 1 - the vectorized replacement
+for the reference's sd_vector predecessor + in-block linear scan
+(src/r-index.cpp:558-568). All entry points are batched over a leading lane
+axis; the searchsorted is the only O(log r) component and every lane runs it
+independently (XLA lowers to a vectorized binary-search gather loop).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .tables import RIndexTables
+
+
+def run_of(t: RIndexTables, pos):
+    """Run id containing each position (pos may be 0..n inclusive)."""
+    return jnp.searchsorted(t.run_start, pos, side="right").astype(t.pos_dtype) - 1
+
+
+def rank(t: RIndexTables, pos, code):
+    """occ(code, [0, pos)) for batched pos [B] and codes [B] (or scalars)."""
+    j = run_of(t, pos)
+    sym = t.run_sym[j].astype(code.dtype if hasattr(code, "dtype") else jnp.int32)
+    extra = jnp.where(sym == code, pos - t.run_start[j], 0)
+    return t.cum[j, code] + extra
+
+
+def rank6(t: RIndexTables, pos):
+    """All-symbol rank vectors: pos [B] -> [B, 6]."""
+    j = run_of(t, pos)
+    base = t.cum[j]  # [B, 6]
+    sym = t.run_sym[j].astype(jnp.int32)  # [B]
+    onehot = (jnp.arange(6, dtype=jnp.int32)[None, :] == sym[:, None]).astype(base.dtype)
+    return base + onehot * (pos - t.run_start[j])[:, None]
+
+
+def lf_range(t: RIndexTables, first, second, code):
+    """Batched LF mapping (r-index.cpp:650-686): first/second/code [B].
+
+    Empty results use the reference's (1, 0) sentinel.
+    """
+    valid = (code > 0) & (first <= second)
+    safe_first = jnp.where(valid, first, 0)
+    safe_second = jnp.where(valid, second, 0)
+    lo = rank(t, safe_first, code)
+    inside = rank(t, safe_second + 1, code) - lo
+    ok = valid & (inside > 0)
+    start = lo + t.C[code]
+    one = jnp.ones_like(first)
+    return (jnp.where(ok, start, one), jnp.where(ok, start + inside - 1, 0))
+
+
+def count(t: RIndexTables, codes, lengths):
+    """Batched backward search: codes [B, L] (right-padded), lengths [B].
+
+    Processes each read right-to-left (count_encoded, r-index.hpp:550-556).
+    Returns (first, second) [B].
+    """
+    B, L = codes.shape
+    pd = t.pos_dtype
+    first = jnp.zeros(B, pd)
+    second = jnp.full(B, t.n - 1, pd)
+
+    def body(i, state):
+        first, second = state
+        # position from the right: index lengths-1-i, skip when i >= length
+        pos = lengths - 1 - i
+        active = pos >= 0
+        c = jnp.take_along_axis(codes, jnp.maximum(pos, 0)[:, None], axis=1)[:, 0]
+        nf, ns = lf_range(t, first, second, c.astype(pd))
+        first = jnp.where(active, nf, first)
+        second = jnp.where(active, ns, second)
+        return first, second
+
+    first, second = jax.lax.fori_loop(0, L, body, (first, second))
+    return first, second
+
+
+def locate_next(t: RIndexTables, prev):
+    """Batched locateNext (r-index.cpp:1369-1372)."""
+    i = jnp.searchsorted(t.last_sorted, prev, side="right").astype(t.pos_dtype) - 1
+    run = t.last_to_run[i] + 1
+    return t.samples[run] + (prev - t.last_sorted[i])

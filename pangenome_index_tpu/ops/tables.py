@@ -1,0 +1,90 @@
+"""Device-resident index tables (HBM layout) for the TPU query engine.
+
+The r-index and tag array live in HBM as flat arrays (see models/rindex.py
+for provenance from the reference's block structures). All tables are a JAX
+pytree so they can be donated, sharded with `jax.sharding`, and closed over
+by jitted kernels.
+
+dtype policy: positions/counts use int32 when every value fits (BWT size,
+packed sample space, tag totals < 2^31) - TPUs have no native 64-bit integer
+path, so int32 keeps the rank/LF gathers on the fast path. Larger indexes
+fall back to int64 per-table. Multi-chip sharding keeps per-shard offsets in
+int32 (see parallel/).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.rindex import RIndex
+from ..models.tagarray import TagArray
+from ..utils.alphabet import COMP_CODE, KP_WEIGHT
+
+
+def _pick_dtype(*maxvals: int):
+    return jnp.int32 if all(v < 2**31 for v in maxvals) else jnp.int64
+
+
+class RIndexTables(NamedTuple):
+    """r-index device tables. Shapes: r runs, 6 symbol codes."""
+
+    run_sym: jax.Array     # int8  [r]
+    run_start: jax.Array   # [r]    BWT offset of each run head
+    cum: jax.Array         # [r, 6] occ counts before each run head
+    C: jax.Array           # [7]    exclusive prefix counts per code
+    samples: jax.Array     # [r+1]  packed SA sample per run head (+1 pad)
+    last_sorted: jax.Array # [r]    sorted packed run-tail text positions
+    last_to_run: jax.Array # [r]
+    comp: jax.Array        # [6]    complement in code space
+    kp_weight: jax.Array   # [6,6]  FMD reverse-interval advance weights
+    n: jax.Array           # []     BWT size
+    n_seq: jax.Array       # []
+    max_len: jax.Array     # []
+
+    @property
+    def pos_dtype(self):
+        return self.run_start.dtype
+
+
+def rindex_to_device(idx: RIndex, dtype=None) -> RIndexTables:
+    pd = dtype or _pick_dtype(idx.n, idx.n_seq * idx.max_len, idx.n_runs)
+    samples_pad = np.concatenate((idx.samples, [0]))
+    return RIndexTables(
+        run_sym=jnp.asarray(idx.run_sym, jnp.int8),
+        run_start=jnp.asarray(idx.run_start, pd),
+        cum=jnp.asarray(idx.cum, pd),
+        C=jnp.asarray(idx.C, pd),
+        samples=jnp.asarray(samples_pad, pd),
+        last_sorted=jnp.asarray(idx.last_sorted, pd),
+        last_to_run=jnp.asarray(idx.last_to_run, pd),
+        comp=jnp.asarray(COMP_CODE, jnp.int32),
+        kp_weight=jnp.asarray(KP_WEIGHT, pd),
+        n=jnp.asarray(idx.n, pd),
+        n_seq=jnp.asarray(idx.n_seq, pd),
+        max_len=jnp.asarray(idx.max_len, pd),
+    )
+
+
+class TagTables(NamedTuple):
+    """Tag-array device tables: t runs."""
+
+    pos_enc: jax.Array    # int64-packed graph positions (compact encoding)
+    bwt_start: jax.Array  # [t] run head BWT offsets
+    total: jax.Array      # [] covered BWT length
+
+    @property
+    def n_runs(self):
+        return self.bwt_start.shape[0]
+
+
+def tags_to_device(tags: TagArray, dtype=None) -> TagTables:
+    pd = dtype or _pick_dtype(tags.total, int(tags.pos_enc.max(initial=0)) + 1)
+    return TagTables(
+        pos_enc=jnp.asarray(tags.pos_enc, pd),
+        bwt_start=jnp.asarray(tags.bwt_start, pd),
+        total=jnp.asarray(tags.total, pd),
+    )
