@@ -1,0 +1,278 @@
+"""``panidx`` command-line interface.
+
+Mirrors the reference's eight executables (src/*.cpp -> bin/, makefile:60)
+with matching argv shapes and stdout formats so output parity is mechanical:
+
+  build-rindex <rl_bwt>                        (build_rindex.cpp; stdout = .ri)
+  find-mems <ri> <tags> <reads> <min_len> <min_occ>      (find_mems.cpp)
+  query-tags <ri> <tags> <reads>                          (query_tags.cpp)
+  print-stats <ri> <tags>                                 (print_stats.cpp)
+  convert-tags <in.tags> <out.tags>                       (convert_tags.cpp)
+  build-tags <gbz> <rl_bwt> <out.tags>                    (build_tags.cpp)
+  merge-tags <gbz> <whole.ri> <tags_dir> <out>            (merge_tags.cpp)
+  tags-check <tags...>                                    (tags_check.cpp)
+
+Unlike the reference (positional argv only, knobs hard-coded - SURVEY §5),
+every tuning knob is exposed as a flag. Queries run on the JAX device engine
+by default (--engine host for the numpy reference path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .utils.alphabet import BYTE_TO_CODE
+
+
+def _read_reads(path: str) -> list[bytes]:
+    with open(path, "rb") as fh:
+        return [l for l in fh.read().split(b"\n") if l]
+
+
+def _pack_reads(reads: list[bytes]):
+    L = max(len(r) for r in reads)
+    codes = np.zeros((len(reads), L), np.int32)
+    lens = np.array([len(r) for r in reads], np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = BYTE_TO_CODE[np.frombuffer(r, np.uint8)]
+    return codes, lens
+
+
+def cmd_build_rindex(args) -> int:
+    from .formats import ri
+    from .formats.rlbwt import read_rlbwt
+    from .models.rindex import build_rindex
+
+    idx = build_rindex(read_rlbwt(args.rl_bwt))
+    data = ri.serialize_legacy(idx) if args.format == "legacy" else ri.serialize_encoded(idx)
+    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    out.write(data)
+    if args.output != "-":
+        out.close()
+    print(f"r-index: {idx.n_runs} runs, {idx.n_seq} sequences, BWT size {idx.n}", file=sys.stderr)
+    return 0
+
+
+def _load_serving(args):
+    from .formats import ri, tags as tagfmt
+
+    print("Reading the rindex file (encoded)", file=sys.stderr)
+    idx = ri.load_file(args.ri)
+    print("Reading the tag array index", file=sys.stderr)
+    tags = tagfmt.load_tags_file(args.tags)
+    return idx, tags
+
+
+def cmd_find_mems(args) -> int:
+    reads = _read_reads(args.reads)
+    idx, tags = _load_serving(args)
+    t0 = time.perf_counter()
+    total_mem_time = 0.0
+    total_tag_time = 0.0
+
+    if args.engine == "host":
+        from .models.mems import find_all_mems
+
+        for i, read in enumerate(reads, start=1):
+            tm = time.perf_counter()
+            mems = find_all_mems(idx, read, args.min_len, args.min_occ)
+            total_mem_time += time.perf_counter() - tm
+            print(f"Seq: {i}")
+            for m in mems:
+                print(f"MEM START: {m.start}, MEM END: {m.end} BWT START: {m.bwt_start} SIZE: {m.size}")
+                tq = time.perf_counter()
+                vals, nruns = tags.query(m.bwt_start, m.bwt_start + m.size - 1)
+                total_tag_time += time.perf_counter() - tq
+                print(f"Number of unique positions: {len(vals)}")
+                print("".join(f"{v}, " for v in vals))
+            print()
+    else:
+        import jax.numpy as jnp
+
+        from .ops.mems import find_mems_batch
+        from .ops.tables import rindex_to_device, tags_to_device
+        from .ops.tagquery import query_tags_batch
+
+        t = rindex_to_device(idx)
+        tt = tags_to_device(tags)
+        codes, lens = _pack_reads(reads)
+        tm = time.perf_counter()
+        res = find_mems_batch(t, jnp.asarray(codes), jnp.asarray(lens),
+                              args.min_len, args.min_occ, capacity=args.mem_capacity)
+        res = [np.asarray(a) for a in res]
+        total_mem_time = time.perf_counter() - tm
+        starts, ends, bwts, sizes, counts, overflow = res
+        # batched tag queries over all MEMs at once
+        flat = [(i, m) for i in range(len(reads)) for m in range(int(counts[i]))]
+        tq = time.perf_counter()
+        if flat:
+            qs = np.array([bwts[i, m] for i, m in flat])
+            qe = np.array([bwts[i, m] + sizes[i, m] - 1 for i, m in flat])
+            tags_res = query_tags_batch(tt, jnp.asarray(qs, tt.bwt_start.dtype),
+                                        jnp.asarray(qe, tt.bwt_start.dtype),
+                                        capacity=args.tag_capacity)
+            tpos = np.asarray(tags_res.positions)
+            tuniq = np.asarray(tags_res.n_unique)
+            toflow = np.asarray(tags_res.overflow)
+        total_tag_time = time.perf_counter() - tq
+        fi = 0
+        for i in range(len(reads)):
+            print(f"Seq: {i + 1}")
+            for m in range(int(counts[i])):
+                print(f"MEM START: {starts[i, m]}, MEM END: {ends[i, m]} BWT START: {bwts[i, m]} SIZE: {sizes[i, m]}")
+                if toflow[fi]:
+                    vals, _ = tags.query(int(bwts[i, m]), int(bwts[i, m] + sizes[i, m] - 1))
+                else:
+                    vals = tpos[fi, : tuniq[fi]]
+                print(f"Number of unique positions: {len(vals)}")
+                print("".join(f"{v}, " for v in vals))
+                fi += 1
+            print()
+
+    print(f"\nTotal time for finding all MEMs: {total_mem_time} seconds")
+    print(f"Total time for all tag queries: {total_tag_time} seconds")
+    return 0
+
+
+def cmd_query_tags(args) -> int:
+    reads = _read_reads(args.reads)
+    idx, tags = _load_serving(args)
+
+    if args.engine == "host":
+        ranges = [idx.count(r) for r in reads]
+    else:
+        import jax.numpy as jnp
+
+        from .ops.rank import count as count_batch
+        from .ops.tables import rindex_to_device
+
+        t = rindex_to_device(idx)
+        codes, lens = _pack_reads(reads)
+        f, s = count_batch(t, jnp.asarray(codes), jnp.asarray(lens))
+        ranges = list(zip(np.asarray(f).tolist(), np.asarray(s).tolist()))
+
+    for i, (read, (first, second)) in enumerate(zip(reads, ranges)):
+        if first > second:
+            print(f"Read {i} has no matches", file=sys.stderr)
+            continue
+        vals, nruns = tags.query(first, second)
+        print(f"Number of unique positions: {len(vals)}")
+        print("".join(f"{v}, " for v in vals))
+        print(f"read_index={i}\tlen={len(read)}\tbwt_start={first}\tbwt_end={second}\truns={nruns}")
+    return 0
+
+
+def cmd_print_stats(args) -> int:
+    from .formats import ri, tags as tagfmt
+
+    idx = ri.load_file(args.ri)
+    print(f"R-index: {idx.n_runs} runs over BWT of size {idx.n}")
+    print(f"  sequences: {idx.n_seq}, max sequence length: {idx.max_len}")
+    print(f"  bits/run (flat tables): {(idx.run_sym.nbytes + idx.run_start.nbytes + idx.cum.nbytes + idx.samples.nbytes + idx.last_sorted.nbytes + idx.last_to_run.nbytes) * 8 / idx.n_runs:.2f}")
+    if args.tags:
+        tags = tagfmt.load_tags_file(args.tags)
+        print(f"Tag array: {tags.n_runs} runs covering {tags.total} BWT positions")
+        print(f"  bits/run (flat tables): {(tags.pos_enc.nbytes + tags.bwt_start.nbytes) * 8 / max(tags.n_runs, 1):.2f}")
+    return 0
+
+
+def cmd_convert_tags(args) -> int:
+    from .formats import tags as tagfmt
+
+    with open(args.input, "rb") as fh:
+        raw = fh.read()
+    data = tagfmt.convert_algorithm(raw, compact=args.compact, compat=args.compat)
+    with open(args.output, "wb") as fh:
+        fh.write(data)
+    return 0
+
+
+def cmd_tags_check(args) -> int:
+    from .formats import tags as tagfmt
+
+    for path in args.tags:
+        try:
+            tags = tagfmt.load_tags_file(path)
+            print(f"{path}: {tags.n_runs} runs, covers {tags.total} BWT positions")
+        except Exception as exc:  # mirror tags_check's per-file reporting
+            print(f"{path}: FAILED to load ({exc})", file=sys.stderr)
+            return 1
+    return 0
+
+
+def cmd_build_tags(args) -> int:
+    from .core.tagbuild import build_tags_pipeline
+
+    return build_tags_pipeline(args.gbz, args.rl_bwt, args.output, k=args.k)
+
+
+def cmd_merge_tags(args) -> int:
+    from .core.merge import merge_tags_pipeline
+
+    return merge_tags_pipeline(args.gbz, args.ri, args.tags_dir, args.output)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="panidx", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-rindex")
+    b.add_argument("rl_bwt")
+    b.add_argument("-o", "--output", default="-")
+    b.add_argument("--format", choices=["encoded", "legacy"], default="encoded")
+    b.set_defaults(fn=cmd_build_rindex)
+
+    for name, fn, extra in [("find-mems", cmd_find_mems, True), ("query-tags", cmd_query_tags, False)]:
+        q = sub.add_parser(name)
+        q.add_argument("ri")
+        q.add_argument("tags")
+        q.add_argument("reads")
+        if extra:
+            q.add_argument("min_len", type=int)
+            q.add_argument("min_occ", type=int)
+            q.add_argument("--mem-capacity", type=int, default=32)
+            q.add_argument("--tag-capacity", type=int, default=256)
+        q.add_argument("--engine", choices=["device", "host"], default="device")
+        q.set_defaults(fn=fn)
+
+    s = sub.add_parser("print-stats")
+    s.add_argument("ri")
+    s.add_argument("tags", nargs="?")
+    s.set_defaults(fn=cmd_print_stats)
+
+    c = sub.add_parser("convert-tags")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--compact", action="store_true")
+    c.add_argument("--no-compat", dest="compat", action="store_false",
+                   help="skip the int_vector header instead of decoding it as data (reference-bug compat is on by default)")
+    c.set_defaults(fn=cmd_convert_tags)
+
+    t = sub.add_parser("tags-check")
+    t.add_argument("tags", nargs="+")
+    t.set_defaults(fn=cmd_tags_check)
+
+    bt = sub.add_parser("build-tags")
+    bt.add_argument("gbz")
+    bt.add_argument("rl_bwt")
+    bt.add_argument("output")
+    bt.add_argument("--k", type=int, default=31)
+    bt.set_defaults(fn=cmd_build_tags)
+
+    mt = sub.add_parser("merge-tags")
+    mt.add_argument("gbz")
+    mt.add_argument("ri")
+    mt.add_argument("tags_dir")
+    mt.add_argument("output")
+    mt.set_defaults(fn=cmd_merge_tags)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
