@@ -1,0 +1,97 @@
+"""Benchmark: MEM-finding throughput (reads/sec) on the TPU device engine.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: synthetic pangenome (8 haplotypes x 500 kbp, 0.2% SNP rate -> a
+~4 Mbp BWT with realistic run-length structure), 150 bp reads with 1% errors,
+min_len=20, min_occ=1 - the find_mems serving path (reference:
+src/find_mems.cpp). vs_baseline is the speedup over the single-thread host
+(numpy) implementation of the same algorithm measured on a read subset.
+
+Index build artifacts are cached under .bench_cache/ (first run pays the
+oracle BWT construction).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASE_LEN = 500_000
+N_HAPS = 8
+N_READS = 4096
+READ_LEN = 150
+MIN_LEN = 20
+MIN_OCC = 1
+BASELINE_READS = 24
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pangenome_index_tpu.models.mems import find_all_mems
+    from pangenome_index_tpu.ops.mems import find_mems_batch
+    from pangenome_index_tpu.ops.tables import rindex_to_device
+    from pangenome_index_tpu.utils.alphabet import BYTE_TO_CODE
+    from pangenome_index_tpu.utils.synth import build_synth_index, synth_reads
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    t0 = time.perf_counter()
+    idx, lines = build_synth_index(BASE_LEN, N_HAPS, snp_rate=0.002, seed=0, cache_dir=cache)
+    print(f"[bench] index: n={idx.n} runs={idx.n_runs} ({time.perf_counter()-t0:.1f}s)",
+          file=sys.stderr)
+
+    reads = synth_reads(lines, N_READS, READ_LEN, error_rate=0.01, seed=1)
+    codes = np.zeros((N_READS, READ_LEN), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, :] = BYTE_TO_CODE[np.frombuffer(r, np.uint8)]
+    lens = np.full(N_READS, READ_LEN, np.int32)
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+    t = jax.device_put(rindex_to_device(idx), dev)
+    codes_d = jax.device_put(jnp.asarray(codes), dev)
+    lens_d = jax.device_put(jnp.asarray(lens), dev)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    res = find_mems_batch(t, codes_d, lens_d, MIN_LEN, MIN_OCC, capacity=32)
+    jax.block_until_ready(res)
+    compile_s = time.perf_counter() - t0
+    total_mems = int(np.asarray(res.count).sum())
+    print(f"[bench] compile+first run: {compile_s:.1f}s, {total_mems} MEMs", file=sys.stderr)
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = find_mems_batch(t, codes_d, lens_d, MIN_LEN, MIN_OCC, capacity=32)
+        jax.block_until_ready(res)
+    dt = (time.perf_counter() - t0) / iters
+    device_rps = N_READS / dt
+    print(f"[bench] device: {dt*1e3:.1f} ms/batch -> {device_rps:.0f} reads/s", file=sys.stderr)
+
+    # host (numpy single-thread) baseline on a subset
+    t0 = time.perf_counter()
+    host_mems = 0
+    for r in reads[:BASELINE_READS]:
+        host_mems += len(find_all_mems(idx, r, MIN_LEN, MIN_OCC))
+    host_dt = time.perf_counter() - t0
+    host_rps = BASELINE_READS / host_dt
+    print(f"[bench] host baseline: {host_rps:.1f} reads/s ({host_mems} MEMs on subset)",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "mem_find_reads_per_s",
+        "value": round(device_rps, 1),
+        "unit": "reads/s (150bp, minlen20, 4Mbp synthetic pangenome)",
+        "vs_baseline": round(device_rps / host_rps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -176,7 +176,15 @@ class RIndex:
         return (t[1], t[0], t[2])
 
 
-def build_rindex(rlbwt: RLBWT, progress: bool = False) -> RIndex:
+def build_rindex_from_sa(rlbwt: RLBWT, seq_of_row: np.ndarray, pos_of_row: np.ndarray,
+                         seq_lengths: np.ndarray) -> RIndex:
+    """Construction fast path when the suffix array is already known (e.g.
+    from the oracle during benchmarking): skips the psi walk entirely."""
+    idx = build_rindex(rlbwt, _sa_hint=(seq_of_row, pos_of_row, seq_lengths))
+    return idx
+
+
+def build_rindex(rlbwt: RLBWT, progress: bool = False, _sa_hint=None) -> RIndex:
     """Construct the r-index from a run-length BWT.
 
     Replaces the FastLocate constructor (src/r-index.cpp:778-1139). The
@@ -221,42 +229,50 @@ def build_rindex(rlbwt: RLBWT, progress: bool = False) -> RIndex:
         last_to_run=np.zeros(r, dtype=np.int64),
     )
 
-    # --- lane-per-sequence psi walk assigning (seq, step) to every BWT row ---
-    pi = idx.psi_perm()
-    bwt_codes = np.repeat(run_sym, run_len)
-    seq_of_row = np.zeros(n, dtype=np.int64)
-    t_of_row = np.zeros(n, dtype=np.int64)
-    seq_len = np.zeros(n_seq, dtype=np.int64)
+    if _sa_hint is not None:
+        seq_of_row, pos_of_row, seq_len = (np.asarray(a, np.int64) for a in _sa_hint)
+        max_len = int(seq_len.max())
+        idx.max_len = max_len
 
-    cur = np.arange(n_seq, dtype=np.int64)
-    active = np.ones(n_seq, dtype=bool)
-    lanes = np.arange(n_seq, dtype=np.int64)
-    t = 0
-    while active.any():
-        rows = cur[active]
-        seq_of_row[rows] = lanes[active]
-        t_of_row[rows] = t
-        # a lane stops after visiting the row whose BWT char is the endmarker
-        stop = bwt_codes[rows] == 0
-        seq_len[lanes[active][stop]] = t + 1
-        nxt = pi[rows]
-        still = ~stop
-        cur[active] = np.where(still, nxt, cur[active])
-        new_active = active.copy()
-        new_active[active] = still
-        active = new_active
-        t += 1
+        def packed_at(rows):
+            return seq_of_row[rows] * max_len + pos_of_row[rows]
+    else:
+        # --- lane-per-sequence psi walk assigning (seq, step) to every row ---
+        pi = idx.psi_perm()
+        bwt_codes = np.repeat(run_sym, run_len)
+        seq_of_row = np.zeros(n, dtype=np.int64)
+        t_of_row = np.zeros(n, dtype=np.int64)
+        seq_len = np.zeros(n_seq, dtype=np.int64)
 
-    max_len = int(seq_len.max())
-    idx.max_len = max_len
+        cur = np.arange(n_seq, dtype=np.int64)
+        active = np.ones(n_seq, dtype=bool)
+        lanes = np.arange(n_seq, dtype=np.int64)
+        t = 0
+        while active.any():
+            rows = cur[active]
+            seq_of_row[rows] = lanes[active]
+            t_of_row[rows] = t
+            # a lane stops after visiting the row whose BWT char is the endmarker
+            stop = bwt_codes[rows] == 0
+            seq_len[lanes[active][stop]] = t + 1
+            nxt = pi[rows]
+            still = ~stop
+            cur[active] = np.where(still, nxt, cur[active])
+            new_active = active.copy()
+            new_active[active] = still
+            active = new_active
+            t += 1
 
-    # --- samples at run heads; `last` marks at run tails ---
-    # suffix position of row w = seq_len - 1 - t (the distance flip at
-    # r-index.cpp:1082-1083); equals the suffix start offset in its sequence.
-    def packed_at(rows):
-        s = seq_of_row[rows]
-        off = seq_len[s] - 1 - t_of_row[rows]
-        return s * max_len + off
+        max_len = int(seq_len.max())
+        idx.max_len = max_len
+
+        # --- samples at run heads; `last` marks at run tails ---
+        # suffix position of row w = seq_len - 1 - t (the distance flip at
+        # r-index.cpp:1082-1083); equals the suffix start offset in its sequence.
+        def packed_at(rows):
+            s = seq_of_row[rows]
+            off = seq_len[s] - 1 - t_of_row[rows]
+            return s * max_len + off
 
     idx.samples = packed_at(run_start)
     tail_rows = run_start + run_len - 1

@@ -19,21 +19,25 @@ from .rank import rank6
 from .tables import RIndexTables
 
 
-def extend(t: RIndexTables, k, kp, s, code, forward=None):
+def extend(t: RIndexTables, k, kp, s, code, forward=None, rank6_fn=None):
     """Batched bidirectional extension.
 
     k, kp, s, code: [B]. forward: bool [B] or None (all backward).
+    rank6_fn(pos)->[B,6] overrides the rank provider (used by the
+    model-sharded distributed engine, parallel/engine.py).
     Returns (k, kp, s) after extension; failed lanes get (0, 0, 0).
     """
     if forward is None:
         forward = jnp.zeros(k.shape, dtype=bool)
+    if rank6_fn is None:
+        rank6_fn = lambda pos: rank6(t, pos)
     code = code.astype(jnp.int32)
     ext_code = jnp.where(forward, t.comp[code], code)
     bk = jnp.where(forward, kp, k)
     bkp = jnp.where(forward, k, kp)
 
-    r_k = rank6(t, bk)          # [B, 6]
-    r_ks = rank6(t, bk + s)     # [B, 6]
+    r_k = rank6_fn(bk)          # [B, 6]
+    r_ks = rank6_fn(bk + s)     # [B, 6]
     delta = r_ks - r_k
 
     w = t.kp_weight[ext_code]   # [B, 6]

@@ -36,13 +36,18 @@ class MemResult(NamedTuple):
     overflow: jax.Array  # [B] bool: count exceeded capacity M
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def find_mems_batch(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
-                    min_len, min_occ, capacity: int = 32) -> MemResult:
+def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
+                   min_len, min_occ, capacity: int = 32, rank6_fn=None) -> MemResult:
     """codes: [B, L] int32 (0-padded), lengths: [B]. Returns MemResult.
 
     The pad column j == length reads code 0 - the reference's std::string NUL
     sentinel behavior in step 3 (algorithm.hpp:722-732).
+
+    rank6_fn overrides the rank provider (for model-parallel index shards);
+    note it is called once per loop iteration inside lax.while_loop, so with a
+    collective-based provider every device must run the same iteration count -
+    the while condition only depends on replicated lane state, which holds
+    when codes/lengths are identical across the model axis.
     """
     B, L = codes.shape
     pd = t.pos_dtype
@@ -102,7 +107,7 @@ def find_mems_batch(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         act = p1 | p2 | p3
         jc = jnp.clip(j, 0, L)
         c = codes[lanes, jc]
-        nk, nkp, ns = extend(t, k, kp, s, c, forward=p2)
+        nk, nkp, ns = extend(t, k, kp, s, c, forward=p2, rank6_fn=rank6_fn)
         fail = act & ((ns < min_occ) | (ns <= 0))
 
         # --- transitions ---
@@ -174,3 +179,6 @@ def find_mems_batch(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
     st = jax.lax.while_loop(cond, body, st)
     return MemResult(st.m_start, st.m_end, st.m_bwt, st.m_size,
                      st.cnt, st.cnt > M)
+
+
+find_mems_batch = functools.partial(jax.jit, static_argnames=("capacity",))(find_mems_impl)
