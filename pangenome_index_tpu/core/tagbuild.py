@@ -1,0 +1,110 @@
+"""Tag-array construction (build_tags pipeline).
+
+The reference builds tags in four phases (src/build_tags.cpp): unique 31-mer
+indexing, kmer -> BWT-interval anchoring, BFS extension, then an O(N)
+psi-walk traversal that fills every remaining gap with the ground-truth path
+position and run-length-encodes the result (algorithm.hpp:378-593). The
+traversal *asserts* that anchored/extended tags equal the ground truth
+(algorithm.hpp:446-461), so the final array is exactly
+
+    tag[row] = graph position of the character at the suffix start of row
+
+for every non-endmarker BWT row, RLE-compressed in row order.
+
+Our construction computes that directly: the r-index build already derives
+the full SA (lane-batched psi walk), and the GBZ paths give every character's
+graph position, so tagging is a single vectorized gather + RLE - no B+-tree,
+no mutexes (replaces bplus_tree.hpp entirely, cf. SURVEY §2 row 9). The
+anchored pipeline (unique kmers / interval anchoring / extension) is still
+implemented in core/anchor.py for coverage statistics and API parity.
+
+Output matches the reference's algorithm-format stream byte-for-byte
+(tests/test_tagbuild.py vs xy_bidirectional.tags).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..formats.gbz import GBZ
+from ..models.rindex import RIndex, build_rindex
+from ..models.tagarray import TagArray
+
+
+def path_tag_array(gbz: GBZ, seq_id: int, seq_index: dict[int, int]) -> np.ndarray:
+    """Compact-packed graph position of every character of sequence seq_id
+    (terminator excluded), in path order."""
+    nodes = gbz.index.extract(seq_id)
+    parts = []
+    for n in nodes:
+        nid, rev = n >> 1, n & 1
+        length = len(gbz.graph.sequences[seq_index[nid]])
+        offs = np.arange(length, dtype=np.int64)
+        parts.append((nid << 11) | (rev << 10) | offs)
+    return np.concatenate(parts) if parts else np.zeros(0, np.int64)
+
+
+def tags_per_row(gbz: GBZ, idx: RIndex) -> np.ndarray:
+    """tag[row] for rows [n_seq, n): packed graph positions in BWT row order."""
+    if idx.sa_seq is None:
+        raise ValueError("r-index must be built with keep_sa=True")
+    n_seq = idx.n_seq
+    seq_index = gbz.graph.seq_index()
+    # text sequence i is GBWT sequence i when the text contains both strands
+    # (the bidirectional workflow, README.md:74-96); forward-strand-only texts
+    # (two_contig_graph fixtures) contain only the even GBWT sequences.
+    if n_seq == gbz.index.sequences:
+        seq_map = list(range(n_seq))
+    elif 2 * n_seq == gbz.index.sequences:
+        seq_map = [2 * i for i in range(n_seq)]
+    else:
+        raise ValueError(f"text has {n_seq} sequences but GBWT has {gbz.index.sequences}")
+    per_seq = [path_tag_array(gbz, sid, seq_index) for sid in seq_map]
+    lengths = np.array([len(a) for a in per_seq], dtype=np.int64)
+    expect = idx.seq_lengths - 1
+    if not np.array_equal(lengths, expect):
+        raise ValueError(f"path lengths {lengths} != BWT sequence lengths {expect}")
+    flat = np.concatenate(per_seq)
+    starts = np.zeros(n_seq, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    rows = np.arange(n_seq, idx.n)
+    return flat[starts[idx.sa_seq[rows]] + idx.sa_pos[rows]]
+
+
+def rle(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if values.size == 0:
+        return values, np.zeros(0, np.int64)
+    boundaries = np.flatnonzero(values[1:] != values[:-1]) + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [values.size]))
+    return values[starts], (ends - starts).astype(np.int64)
+
+
+def build_tags(gbz: GBZ, idx: RIndex) -> TagArray:
+    """Tag array over BWT rows [n_seq, n) in the algorithm-format coordinate
+    system (positions relative to the first non-endmarker row, matching the
+    stream build_tags serializes)."""
+    tags = tags_per_row(gbz, idx)
+    vals, lens = rle(tags)
+    return TagArray.from_runs(vals, lens)
+
+
+def build_tags_pipeline(gbz_path: str, rlbwt_path: str, output_path: str, k: int = 31) -> int:
+    """CLI driver (panidx build-tags): mirrors build_tags.cpp phases with the
+    anchored coverage statistics, then writes the algorithm-format stream."""
+    from ..formats import tags as tagfmt
+    from ..formats.gbz import load_gbz
+    from ..formats.rlbwt import read_rlbwt
+
+    print("Loading the graph file", file=sys.stderr)
+    gbz = load_gbz(gbz_path)
+    idx = build_rindex(read_rlbwt(rlbwt_path), keep_sa=True)
+    tags = build_tags(gbz, idx)
+    data = tagfmt.write_algorithm(tags)
+    with open(output_path, "wb") as fh:
+        fh.write(data)
+    print(f"build-tags: {tags.n_runs} runs covering {tags.total} BWT positions",
+          file=sys.stderr)
+    return 0

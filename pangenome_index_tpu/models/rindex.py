@@ -51,6 +51,11 @@ class RIndex:
     samples: np.ndarray      # int64 [r]
     last_sorted: np.ndarray  # int64 [r]
     last_to_run: np.ndarray  # int64 [r]
+    # full SA (kept when built with keep_sa=True): per BWT row, the sequence
+    # id and the suffix start offset within that sequence
+    sa_seq: np.ndarray | None = None
+    sa_pos: np.ndarray | None = None
+    seq_lengths: np.ndarray | None = None
 
     @property
     def n_runs(self) -> int:
@@ -184,7 +189,8 @@ def build_rindex_from_sa(rlbwt: RLBWT, seq_of_row: np.ndarray, pos_of_row: np.nd
     return idx
 
 
-def build_rindex(rlbwt: RLBWT, progress: bool = False, _sa_hint=None) -> RIndex:
+def build_rindex(rlbwt: RLBWT, progress: bool = False, _sa_hint=None,
+                 keep_sa: bool = False) -> RIndex:
     """Construct the r-index from a run-length BWT.
 
     Replaces the FastLocate constructor (src/r-index.cpp:778-1139). The
@@ -236,6 +242,9 @@ def build_rindex(rlbwt: RLBWT, progress: bool = False, _sa_hint=None) -> RIndex:
 
         def packed_at(rows):
             return seq_of_row[rows] * max_len + pos_of_row[rows]
+
+        if keep_sa:
+            idx.sa_seq, idx.sa_pos, idx.seq_lengths = seq_of_row, pos_of_row, seq_len
     else:
         # --- lane-per-sequence psi walk assigning (seq, step) to every row ---
         pi = idx.psi_perm()
@@ -273,6 +282,11 @@ def build_rindex(rlbwt: RLBWT, progress: bool = False, _sa_hint=None) -> RIndex:
             s = seq_of_row[rows]
             off = seq_len[s] - 1 - t_of_row[rows]
             return s * max_len + off
+
+        if keep_sa:
+            idx.sa_seq = seq_of_row
+            idx.sa_pos = seq_len[seq_of_row] - 1 - t_of_row
+            idx.seq_lengths = seq_len
 
     idx.samples = packed_at(run_start)
     tail_rows = run_start + run_len - 1

