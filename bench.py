@@ -54,36 +54,52 @@ def main():
 
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
-    t = jax.device_put(rindex_to_device(idx), dev)
+    # dense tables: O(1) rank with two gathers per position (see ops/tables.py)
+    t = jax.device_put(rindex_to_device(idx, dense=True), dev)
     codes_d = jax.device_put(jnp.asarray(codes), dev)
     lens_d = jax.device_put(jnp.asarray(lens), dev)
 
-    # warmup / compile
+    # warmup / compile. NOTE: jax.block_until_ready does not synchronize under
+    # the axon remote backend - force a host fetch to time real execution.
     t0 = time.perf_counter()
     res = find_mems_batch(t, codes_d, lens_d, MIN_LEN, MIN_OCC, capacity=32)
-    jax.block_until_ready(res)
-    compile_s = time.perf_counter() - t0
     total_mems = int(np.asarray(res.count).sum())
+    compile_s = time.perf_counter() - t0
     print(f"[bench] compile+first run: {compile_s:.1f}s, {total_mems} MEMs", file=sys.stderr)
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         res = find_mems_batch(t, codes_d, lens_d, MIN_LEN, MIN_OCC, capacity=32)
-        jax.block_until_ready(res)
+        np.asarray(res.count)  # host fetch = real synchronization
     dt = (time.perf_counter() - t0) / iters
     device_rps = N_READS / dt
     print(f"[bench] device: {dt*1e3:.1f} ms/batch -> {device_rps:.0f} reads/s", file=sys.stderr)
 
-    # host (numpy single-thread) baseline on a subset
-    t0 = time.perf_counter()
-    host_mems = 0
-    for r in reads[:BASELINE_READS]:
-        host_mems += len(find_all_mems(idx, r, MIN_LEN, MIN_OCC))
-    host_dt = time.perf_counter() - t0
-    host_rps = BASELINE_READS / host_dt
-    print(f"[bench] host baseline: {host_rps:.1f} reads/s ({host_mems} MEMs on subset)",
-          file=sys.stderr)
+    # CPU baseline: native C++ engine (single thread - the per-core baseline;
+    # the reference's deployment is one process per chromosome with OpenMP)
+    from pangenome_index_tpu import native
+
+    if native.available():
+        nb = min(N_READS, 256)
+        t0 = time.perf_counter()
+        s, e, b, z, cnt = native.find_mems_native(
+            idx, codes[:nb], lens[:nb], MIN_LEN, MIN_OCC, capacity=32, n_threads=1)
+        host_dt = time.perf_counter() - t0
+        host_rps = nb / host_dt
+        print(f"[bench] native C++ 1-thread baseline: {host_rps:.1f} reads/s "
+              f"({int(cnt.sum())} MEMs on subset)", file=sys.stderr)
+        # sanity: native MEM counts equal device counts on the subset
+        if not np.array_equal(cnt, np.asarray(res.count)[:nb]):
+            print("[bench] WARNING: native/device MEM count mismatch", file=sys.stderr)
+    else:
+        t0 = time.perf_counter()
+        host_mems = 0
+        for r in reads[:BASELINE_READS]:
+            host_mems += len(find_all_mems(idx, r, MIN_LEN, MIN_OCC))
+        host_dt = time.perf_counter() - t0
+        host_rps = BASELINE_READS / host_dt
+        print(f"[bench] numpy host baseline: {host_rps:.1f} reads/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "mem_find_reads_per_s",

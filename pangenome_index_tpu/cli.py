@@ -204,6 +204,38 @@ def cmd_tags_check(args) -> int:
     return 0
 
 
+def cmd_extract_text(args) -> int:
+    """GBZ -> newline-separated haplotype text (replaces the external
+    gbz_extract step of the reference pipeline, README.md:74-96)."""
+    from .formats.gbz import load_gbz, node_seq
+
+    gbz = load_gbz(args.gbz)
+    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    n = gbz.index.sequences if not args.forward_only else gbz.index.sequences // 2
+    for i in range(n):
+        sid = 2 * i if args.forward_only else i
+        nodes = gbz.index.extract(sid)
+        for nd in nodes:
+            out.write(node_seq(gbz, nd >> 1, bool(nd & 1)))
+        out.write(b"\n")
+    if args.output != "-":
+        out.close()
+    return 0
+
+
+def cmd_build_bwt(args) -> int:
+    """Text -> .rl_bwt (replaces the external grlbwt-cli step). Uses the
+    multi-string rotation sort; suitable for small/medium inputs."""
+    from .formats.rlbwt import rlbwt_from_text, write_rlbwt
+    from .models.oracle import oracle_from_file
+
+    oracle = oracle_from_file(args.text)
+    rlbwt = rlbwt_from_text(oracle.bwt.tobytes())
+    write_rlbwt(args.output, rlbwt)
+    print(f"build-bwt: {rlbwt.n_runs} runs over {rlbwt.size} characters", file=sys.stderr)
+    return 0
+
+
 def cmd_build_tags(args) -> int:
     from .core.tagbuild import build_tags_pipeline
 
@@ -255,6 +287,17 @@ def main(argv=None) -> int:
     t = sub.add_parser("tags-check")
     t.add_argument("tags", nargs="+")
     t.set_defaults(fn=cmd_tags_check)
+
+    et = sub.add_parser("extract-text")
+    et.add_argument("gbz")
+    et.add_argument("-o", "--output", default="-")
+    et.add_argument("--forward-only", action="store_true")
+    et.set_defaults(fn=cmd_extract_text)
+
+    bb = sub.add_parser("build-bwt")
+    bb.add_argument("text")
+    bb.add_argument("output")
+    bb.set_defaults(fn=cmd_build_bwt)
 
     bt = sub.add_parser("build-tags")
     bt.add_argument("gbz")

@@ -1,0 +1,113 @@
+"""ctypes bindings for the native CPU serving engine (src/cpp).
+
+Builds libpanindex_native.so on demand (g++ -O3 -fopenmp; cached next to the
+source). The native engine is the honest CPU baseline for the TPU benchmark
+and the host-side runtime for environments without an accelerator - the
+counterpart of the reference's C++ find_mems/query_tags binaries.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_SRC = pathlib.Path(__file__).resolve().parent.parent / "src" / "cpp"
+_LIB = _SRC / "libpanindex_native.so"
+_lib = None
+
+
+def _build() -> bool:
+    src = _SRC / "panindex_native.cpp"
+    if not src.exists():
+        return False
+    if _LIB.exists() and _LIB.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+             str(src), "-o", str(_LIB)],
+            check=True, capture_output=True, timeout=300,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _build():
+        return None
+    lib = ctypes.CDLL(str(_LIB))
+    lib.panindex_version.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(a, t):
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
+def find_mems_native(idx, codes: np.ndarray, lengths: np.ndarray,
+                     min_len: int, min_occ: int, capacity: int = 64,
+                     n_threads: int = 0):
+    """Batched MEM finding on the native engine. Returns
+    (start, end, bwt, size, count) arrays like ops.mems.MemResult."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    B, L = codes.shape
+    codes = np.ascontiguousarray(codes, np.int32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    run_sym = np.ascontiguousarray(idx.run_sym, np.int8)
+    run_start = np.ascontiguousarray(idx.run_start, np.int64)
+    cum = np.ascontiguousarray(idx.cum, np.int64)
+    C = np.ascontiguousarray(idx.C, np.int64)
+    out = [np.zeros((B, capacity), np.int64) for _ in range(4)]
+    count = np.zeros(B, np.int32)
+    lib.panindex_find_mems(
+        _ptr(run_sym, ctypes.c_int8), _ptr(run_start, ctypes.c_int64),
+        _ptr(cum, ctypes.c_int64), _ptr(C, ctypes.c_int64),
+        ctypes.c_int64(idx.n_runs), ctypes.c_int64(idx.n),
+        _ptr(codes, ctypes.c_int32), _ptr(lengths, ctypes.c_int32),
+        ctypes.c_int64(B), ctypes.c_int64(L),
+        ctypes.c_int64(min_len), ctypes.c_int64(min_occ), ctypes.c_int64(capacity),
+        _ptr(out[0], ctypes.c_int64), _ptr(out[1], ctypes.c_int64),
+        _ptr(out[2], ctypes.c_int64), _ptr(out[3], ctypes.c_int64),
+        _ptr(count, ctypes.c_int32), ctypes.c_int32(n_threads),
+    )
+    return out[0], out[1], out[2], out[3], count
+
+
+def count_native(idx, codes: np.ndarray, lengths: np.ndarray, n_threads: int = 0):
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    B, L = codes.shape
+    codes = np.ascontiguousarray(codes, np.int32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    run_sym = np.ascontiguousarray(idx.run_sym, np.int8)
+    run_start = np.ascontiguousarray(idx.run_start, np.int64)
+    cum = np.ascontiguousarray(idx.cum, np.int64)
+    C = np.ascontiguousarray(idx.C, np.int64)
+    first = np.zeros(B, np.int64)
+    second = np.zeros(B, np.int64)
+    lib.panindex_count(
+        _ptr(run_sym, ctypes.c_int8), _ptr(run_start, ctypes.c_int64),
+        _ptr(cum, ctypes.c_int64), _ptr(C, ctypes.c_int64),
+        ctypes.c_int64(idx.n_runs), ctypes.c_int64(idx.n),
+        _ptr(codes, ctypes.c_int32), _ptr(lengths, ctypes.c_int32),
+        ctypes.c_int64(B), ctypes.c_int64(L),
+        _ptr(first, ctypes.c_int64), _ptr(second, ctypes.c_int64),
+        ctypes.c_int32(n_threads),
+    )
+    return first, second

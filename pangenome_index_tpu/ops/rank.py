@@ -16,13 +16,37 @@ import jax.numpy as jnp
 from .tables import RIndexTables
 
 
+from .tables import BUCKET_SHIFT
+
+
 def run_of(t: RIndexTables, pos):
-    """Run id containing each position (pos may be 0..n inclusive)."""
-    return jnp.searchsorted(t.run_start, pos, side="right").astype(t.pos_dtype) - 1
+    """Run id containing each position (pos may be 0..n inclusive).
+
+    With bucket_lo present: O(1) bucket jump + 7 fixed halving probes
+    (bucket width 2^BUCKET_SHIFT bounds the search window to 64 runs),
+    instead of a log2(r) binary search over the whole run table.
+    """
+    if t.bucket_lo is None:
+        return jnp.searchsorted(t.run_start, pos, side="right").astype(t.pos_dtype) - 1
+    r = t.run_start.shape[0]
+    b = jnp.minimum(pos >> BUCKET_SHIFT, t.bucket_lo.shape[0] - 1)
+    j = t.bucket_lo[b]
+    for step in (64, 32, 16, 8, 4, 2, 1):
+        cand = j + step
+        cc = jnp.minimum(cand, r - 1)
+        ok = (cand <= r - 1) & (t.run_start[cc] <= pos)
+        j = jnp.where(ok, cand, j)
+    return j
 
 
 def rank(t: RIndexTables, pos, code):
     """occ(code, [0, pos)) for batched pos [B] and codes [B] (or scalars)."""
+    if t.pos_to_run is not None:
+        j = t.pos_to_run[pos]
+        row = t.rec[j]
+        extra = jnp.where(row[..., 1] == code, pos - row[..., 0], 0)
+        lane = jnp.arange(row.shape[0]) if row.ndim == 2 else 0
+        return row[lane, 2 + code] + extra
     j = run_of(t, pos)
     sym = t.run_sym[j].astype(code.dtype if hasattr(code, "dtype") else jnp.int32)
     extra = jnp.where(sym == code, pos - t.run_start[j], 0)
@@ -30,7 +54,16 @@ def rank(t: RIndexTables, pos, code):
 
 
 def rank6(t: RIndexTables, pos):
-    """All-symbol rank vectors: pos [B] -> [B, 6]."""
+    """All-symbol rank vectors: pos [B] -> [B, 6].
+
+    Dense mode: exactly two gathers (pos->run map, packed 32B record).
+    """
+    if t.pos_to_run is not None:
+        j = t.pos_to_run[pos]
+        row = t.rec[j]  # [B, 8]: start, sym, cum0..cum5
+        sym = row[:, 1].astype(jnp.int32)
+        onehot = (jnp.arange(6, dtype=jnp.int32)[None, :] == sym[:, None]).astype(row.dtype)
+        return row[:, 2:8] + onehot * (pos - row[:, 0])[:, None]
     j = run_of(t, pos)
     base = t.cum[j]  # [B, 6]
     sym = t.run_sym[j].astype(jnp.int32)  # [B]

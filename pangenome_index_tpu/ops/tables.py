@@ -29,6 +29,11 @@ def _pick_dtype(*maxvals: int):
     return jnp.int32 if all(v < 2**31 for v in maxvals) else jnp.int64
 
 
+#: positions are bucketed by 2^BUCKET_SHIFT for O(1)+6-step predecessor
+#: lookups (replaces a full log2(r) binary search per rank query)
+BUCKET_SHIFT = 6
+
+
 class RIndexTables(NamedTuple):
     """r-index device tables. Shapes: r runs, 6 symbol codes."""
 
@@ -44,16 +49,48 @@ class RIndexTables(NamedTuple):
     n: jax.Array           # []     BWT size
     n_seq: jax.Array       # []
     max_len: jax.Array     # []
+    bucket_lo: jax.Array | None = None  # [(n>>BUCKET_SHIFT)+2] run containing
+                                        # each bucket's first position
+    # dense mode: O(1) rank with exactly two gathers per position
+    pos_to_run: jax.Array | None = None  # [n+2] run id containing each position
+    rec: jax.Array | None = None         # [r, 8] packed [start, sym, cum0..cum5]
 
     @property
     def pos_dtype(self):
         return self.run_start.dtype
 
 
-def rindex_to_device(idx: RIndex, dtype=None) -> RIndexTables:
+def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
+                     dense: bool = False) -> RIndexTables:
+    """dense=True adds a direct position->run map + packed 32-byte run
+    records, making every rank query exactly two HBM gathers (one int32, one
+    8-int32 row) - the speed-of-light layout for the LF inner loop. Costs
+    4(n+2) + 32r bytes of HBM; use the bucketed mode (or shard over the mesh)
+    when it does not fit."""
     pd = dtype or _pick_dtype(idx.n, idx.n_seq * idx.max_len, idx.n_runs)
     samples_pad = np.concatenate((idx.samples, [0]))
+    bucket_lo = None
+    pos_to_run = None
+    rec = None
+    if dense:
+        runs = np.repeat(np.arange(idx.n_runs, dtype=np.int64), idx.run_len)
+        p2r = np.concatenate((runs, [idx.n_runs - 1, idx.n_runs - 1]))
+        pos_to_run = jnp.asarray(p2r, pd)
+        rec_np = np.zeros((idx.n_runs, 8), dtype=np.int64)
+        rec_np[:, 0] = idx.run_start
+        rec_np[:, 1] = idx.run_sym
+        rec_np[:, 2:8] = idx.cum
+        rec = jnp.asarray(rec_np, pd)
+    elif bucketed:
+        n_buckets = (idx.n >> BUCKET_SHIFT) + 2
+        bucket_pos = np.arange(n_buckets, dtype=np.int64) << BUCKET_SHIFT
+        bucket_lo = jnp.asarray(
+            np.maximum(np.searchsorted(idx.run_start, bucket_pos, side="right") - 1, 0), pd
+        )
     return RIndexTables(
+        bucket_lo=bucket_lo,
+        pos_to_run=pos_to_run,
+        rec=rec,
         run_sym=jnp.asarray(idx.run_sym, jnp.int8),
         run_start=jnp.asarray(idx.run_start, pd),
         cum=jnp.asarray(idx.cum, pd),

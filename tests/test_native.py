@@ -1,0 +1,49 @@
+"""Native C++ engine vs host model equality (MEMs + count)."""
+
+import numpy as np
+import pytest
+
+from pangenome_index_tpu import native
+from pangenome_index_tpu.formats.rlbwt import read_rlbwt
+from pangenome_index_tpu.models.mems import find_all_mems
+from pangenome_index_tpu.models.rindex import build_rindex
+from pangenome_index_tpu.utils.alphabet import BYTE_TO_CODE
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native engine unavailable")
+
+
+def _reads(lines, rng, n, length=60):
+    out = []
+    for _ in range(n):
+        l1 = lines[int(rng.integers(len(lines)))]
+        l2 = lines[int(rng.integers(len(lines)))]
+        a = int(rng.integers(0, len(l1) - length // 2))
+        b = int(rng.integers(0, len(l2) - length // 2))
+        out.append(l1[a : a + length // 2] + l2[b : b + length // 2])
+    return out
+
+
+def test_native_matches_host(ref_data):
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    with open(ref_data / "bidirectional_test/contigs_xy", "rb") as fh:
+        lines = [l for l in fh.read().split(b"\n") if l]
+    rng = np.random.default_rng(11)
+    reads = _reads(lines, rng, 32)
+    L = max(len(r) for r in reads)
+    codes = np.zeros((len(reads), L), np.int32)
+    lens = np.array([len(r) for r in reads], np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = BYTE_TO_CODE[np.frombuffer(r, np.uint8)]
+
+    for min_len, min_occ in [(8, 1), (12, 2)]:
+        s, e, b, z, cnt = native.find_mems_native(idx, codes, lens, min_len, min_occ)
+        for i, r in enumerate(reads):
+            host = find_all_mems(idx, r, min_len, min_occ)
+            assert cnt[i] == len(host)
+            for m, hm in enumerate(host):
+                assert (s[i, m], e[i, m], b[i, m], z[i, m]) == (
+                    hm.start, hm.end, hm.bwt_start, hm.size)
+
+    first, second = native.count_native(idx, codes, lens)
+    for i, r in enumerate(reads):
+        assert (first[i], second[i]) == idx.count(r)
