@@ -22,7 +22,7 @@ import numpy as np
 
 from ..models.rindex import RIndex
 from ..models.tagarray import TagArray
-from ..utils.alphabet import COMP_CODE, KP_WEIGHT
+from ..utils.alphabet import COMP_CODE, KP_WEIGHT, SIGMA
 
 
 def _pick_dtype(*maxvals: int):
@@ -54,6 +54,8 @@ class RIndexTables(NamedTuple):
     # dense mode: O(1) rank with exactly two gathers per position
     pos_to_run: jax.Array | None = None  # [n+2] run id containing each position
     rec: jax.Array | None = None         # [r, 8] packed [start, sym, cum0..cum5]
+    # ultra mode: per-position rank table - ONE gather per rank query
+    rank_table: jax.Array | None = None  # [n+2, 6] occ counts before each pos
 
     @property
     def pos_dtype(self):
@@ -61,17 +63,28 @@ class RIndexTables(NamedTuple):
 
 
 def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
-                     dense: bool = False) -> RIndexTables:
-    """dense=True adds a direct position->run map + packed 32-byte run
-    records, making every rank query exactly two HBM gathers (one int32, one
-    8-int32 row) - the speed-of-light layout for the LF inner loop. Costs
-    4(n+2) + 32r bytes of HBM; use the bucketed mode (or shard over the mesh)
-    when it does not fit."""
+                     dense: bool = False, ultra: bool = False) -> RIndexTables:
+    """Memory/speed spectrum for the rank hot path (per-chip choice; sharding
+    over the mesh divides n and r per shard):
+
+    * bucketed (default): ~O(r) memory; bucket jump + 7 probe gathers.
+    * dense: + 4(n+2) + 32r bytes; exactly two gathers per rank query.
+    * ultra: + 24(n+2) bytes; a full per-position rank table - ONE gather
+      per rank query. The decompressed-FM-index layout: on a v5e the XLA
+      gather issue rate (~78M rows/s) is the bottleneck, so halving gathers
+      halves the LF inner-loop time.
+    """
     pd = dtype or _pick_dtype(idx.n, idx.n_seq * idx.max_len, idx.n_runs)
     samples_pad = np.concatenate((idx.samples, [0]))
     bucket_lo = None
     pos_to_run = None
     rec = None
+    rank_table = None
+    if ultra:
+        contrib = np.zeros((idx.n + 2, SIGMA), dtype=np.int64)
+        bwt_codes = np.repeat(idx.run_sym.astype(np.int64), idx.run_len)
+        contrib[np.arange(1, idx.n + 1), bwt_codes] = 1
+        rank_table = jnp.asarray(np.cumsum(contrib, axis=0), pd)
     if dense:
         runs = np.repeat(np.arange(idx.n_runs, dtype=np.int64), idx.run_len)
         p2r = np.concatenate((runs, [idx.n_runs - 1, idx.n_runs - 1]))
@@ -91,6 +104,7 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
         bucket_lo=bucket_lo,
         pos_to_run=pos_to_run,
         rec=rec,
+        rank_table=rank_table,
         run_sym=jnp.asarray(idx.run_sym, jnp.int8),
         run_start=jnp.asarray(idx.run_start, pd),
         cum=jnp.asarray(idx.cum, pd),
