@@ -5,8 +5,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Workload: synthetic pangenome (8 haplotypes x 500 kbp, 0.2% SNP rate -> a
 ~4 Mbp BWT with realistic run-length structure), 150 bp reads with 1% errors,
 min_len=20, min_occ=1 - the find_mems serving path (reference:
-src/find_mems.cpp). vs_baseline is the speedup over the single-thread host
-(numpy) implementation of the same algorithm measured on a read subset.
+src/find_mems.cpp). vs_baseline is the speedup over the single-thread native
+C++ engine (src/cpp) running the same algorithm on the same data.
 
 Index build artifacts are cached under .bench_cache/ (first run pays the
 oracle BWT construction).
@@ -59,10 +59,22 @@ def main():
     codes_d = jax.device_put(jnp.asarray(codes), dev)
     lens_d = jax.device_put(jnp.asarray(lens), dev)
 
+    # m-mer seed table (skips the first m extensions of MEM steps 1 and 3)
+    from pangenome_index_tpu.ops.mertable import build_mer_table, read_mer_keys
+
+    MER_M = 10
+    t0 = time.perf_counter()
+    mer_table = jax.device_put(jnp.asarray(build_mer_table(idx, MER_M), t.run_start.dtype), dev)
+    mk, mv = read_mer_keys(codes, lens, MER_M)
+    mer_keys = jax.device_put(jnp.asarray(mk), dev)
+    mer_valid = jax.device_put(jnp.asarray(mv), dev)
+    print(f"[bench] mer table m={MER_M} built in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    mer_kw = dict(mer_table=mer_table, mer_keys=mer_keys, mer_valid=mer_valid, mer_m=MER_M)
+
     # warmup / compile. NOTE: jax.block_until_ready does not synchronize under
     # the axon remote backend - force a host fetch to time real execution.
     t0 = time.perf_counter()
-    res = find_mems_batch(t, codes_d, lens_d, MIN_LEN, MIN_OCC, capacity=32)
+    res = find_mems_batch(t, codes_d, lens_d, MIN_LEN, MIN_OCC, capacity=32, **mer_kw)
     total_mems = int(np.asarray(res.count).sum())
     compile_s = time.perf_counter() - t0
     print(f"[bench] compile+first run: {compile_s:.1f}s, {total_mems} MEMs", file=sys.stderr)
@@ -70,7 +82,7 @@ def main():
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = find_mems_batch(t, codes_d, lens_d, MIN_LEN, MIN_OCC, capacity=32)
+        res = find_mems_batch(t, codes_d, lens_d, MIN_LEN, MIN_OCC, capacity=32, **mer_kw)
         np.asarray(res.count)  # host fetch = real synchronization
     dt = (time.perf_counter() - t0) / iters
     device_rps = N_READS / dt

@@ -97,12 +97,21 @@ def cmd_find_mems(args) -> int:
         from .ops.tables import rindex_to_device, tags_to_device
         from .ops.tagquery import query_tags_batch
 
-        t = rindex_to_device(idx)
+        t = rindex_to_device(idx, dense=args.dense)
         tt = tags_to_device(tags)
         codes, lens = _pack_reads(reads)
+        mer_kw = {}
+        if args.mer_len and args.min_len > args.mer_len:
+            from .ops.mertable import build_mer_table, read_mer_keys
+
+            mt = jnp.asarray(build_mer_table(idx, args.mer_len), t.run_start.dtype)
+            mk, mv = read_mer_keys(codes, lens, args.mer_len)
+            mer_kw = dict(mer_table=mt, mer_keys=jnp.asarray(mk),
+                          mer_valid=jnp.asarray(mv), mer_m=args.mer_len)
         tm = time.perf_counter()
         res = find_mems_batch(t, jnp.asarray(codes), jnp.asarray(lens),
-                              args.min_len, args.min_occ, capacity=args.mem_capacity)
+                              args.min_len, args.min_occ, capacity=args.mem_capacity,
+                              **mer_kw)
         res = [np.asarray(a) for a in res]
         total_mem_time = time.perf_counter() - tm
         starts, ends, bwts, sizes, counts, overflow = res
@@ -268,6 +277,11 @@ def main(argv=None) -> int:
             q.add_argument("min_occ", type=int)
             q.add_argument("--mem-capacity", type=int, default=32)
             q.add_argument("--tag-capacity", type=int, default=256)
+            q.add_argument("--mer-len", type=int, default=8,
+                           help="m-mer seed table size (0 disables)")
+            q.add_argument("--dense", action="store_true", default=True,
+                           help="dense rank tables (O(1) two-gather rank)")
+            q.add_argument("--no-dense", dest="dense", action="store_false")
         q.add_argument("--engine", choices=["device", "host"], default="device")
         q.set_defaults(fn=fn)
 

@@ -37,7 +37,9 @@ class MemResult(NamedTuple):
 
 
 def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
-                   min_len, min_occ, capacity: int = 32, rank6_fn=None) -> MemResult:
+                   min_len, min_occ, capacity: int = 32, rank6_fn=None,
+                   mer_table=None, mer_keys=None, mer_valid=None,
+                   mer_m: int = 0) -> MemResult:
     """codes: [B, L] int32 (0-padded), lengths: [B]. Returns MemResult.
 
     The pad column j == length reads code 0 - the reference's std::string NUL
@@ -101,6 +103,19 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         k = jnp.where(enter1, 0, k)
         kp = jnp.where(enter1, 0, kp)
         s = jnp.where(enter1, N, s)
+        if mer_table is not None:
+            # seed step 1 with the precomputed m-mer interval of the window
+            # ending at x+min_len-1 (exact: interval sizes are non-increasing,
+            # so a passing seed implies every skipped check passed; a failing
+            # seed falls back to stepwise extension)
+            widx = jnp.clip(x + min_len - 1, 0, L)
+            row = mer_table[mer_keys[lanes, widx]]
+            can1 = (enter1 & (min_len > mer_m) & mer_valid[lanes, widx]
+                    & (row[:, 2] >= min_occ) & (row[:, 2] > 0))
+            j = jnp.where(can1, x + min_len - 1 - mer_m, j)
+            k = jnp.where(can1, row[:, 0], k)
+            kp = jnp.where(can1, row[:, 1], kp)
+            s = jnp.where(can1, row[:, 2], s)
 
         # --- one extension step for all active lanes ---
         p1, p2, p3 = phase == 1, phase == 2, phase == 3
@@ -172,6 +187,17 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         k = jnp.where(restart3, 0, k)
         kp = jnp.where(restart3, 0, kp)
         s = jnp.where(restart3, N, s)
+        if mer_table is not None:
+            # seed step 3 with the m-mer ending at e (only when strictly more
+            # than m characters remain before x, and the window is in-read)
+            eidx = jnp.clip(e_val, 0, L)
+            row3 = mer_table[mer_keys[lanes, eidx]]
+            can3 = (emit & mer_valid[lanes, eidx] & (e_val - mer_m > x)
+                    & (row3[:, 2] >= min_occ) & (row3[:, 2] > 0))
+            j = jnp.where(can3, e_val - mer_m, j)
+            k = jnp.where(can3, row3[:, 0], k)
+            kp = jnp.where(can3, row3[:, 1], kp)
+            s = jnp.where(can3, row3[:, 2], s)
 
         return S(phase, x, j, k, kp, s, k2, kp2, s2,
                  m_start, m_end, m_bwt, m_size, cnt, st.it + 1)
@@ -181,7 +207,8 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
                      st.cnt, st.cnt > M)
 
 
-find_mems_batch = functools.partial(jax.jit, static_argnames=("capacity",))(find_mems_impl)
+find_mems_batch = functools.partial(
+    jax.jit, static_argnames=("capacity", "mer_m"))(find_mems_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "lanes"))

@@ -1,0 +1,85 @@
+"""m-mer seed table: precomputed FMD bi-intervals for every ACGT m-mer.
+
+MEM finding restarts backward extension from the full interval at every
+find_mems_function call (steps 1 and 3, algorithm.hpp:661, 718). Interval
+sizes are non-increasing along an extension, so if the final m-mer interval
+still satisfies min_occ, every intermediate step did too - meaning the first
+m extensions can be replaced by ONE table lookup with exact semantics
+(dropout cases fall back to stepwise extension to recover the precise
+failure position).
+
+The table is built host-side by level-synchronous batched extension
+(4^1 -> 4^2 -> ... -> 4^m); at m=10 it is 4^10 x 3 int32 = 12 MB in HBM, and
+skips 2m of the ~(2*min_len + forward) extensions per MEM call.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.rindex import RIndex
+from ..utils.alphabet import KP_WEIGHT
+
+#: ACGT bases in 2-bit key order (A=0, C=1, G=2, T=3) -> alphabet codes
+BASE_CODES = np.array([1, 2, 3, 5], dtype=np.int64)
+#: alphabet code -> 2-bit base (or -1)
+CODE_TO_BASE = np.full(8, -1, dtype=np.int64)
+for _b, _c in enumerate(BASE_CODES):
+    CODE_TO_BASE[_c] = _b
+
+
+def _batched_backward_extend(idx: RIndex, k, kp, s, code: int):
+    r_k = idx.rank6(k)
+    r_ks = idx.rank6(k + s)
+    delta = r_ks - r_k
+    kp2 = kp + (KP_WEIGHT[code][None, :] * delta).sum(axis=1)
+    s2 = delta[:, code]
+    k2 = r_k[:, code] + idx.C[code]
+    ok = s2 > 0
+    return np.where(ok, k2, 0), np.where(ok, kp2, 0), np.where(ok, s2, 0)
+
+
+def build_mer_table(idx: RIndex, m: int) -> np.ndarray:
+    """[4^m, 3] array of (k, kp, s) for every m-mer, keyed by the 2-bit pack
+    with the LEFTMOST character in the highest bits (matching core/kmers)."""
+    k = np.zeros(1, dtype=np.int64)
+    kp = np.zeros(1, dtype=np.int64)
+    s = np.full(1, idx.n, dtype=np.int64)
+    # build right-to-left: level t holds intervals of all length-t suffixes,
+    # keyed by their 2-bit pack (leftmost char of the suffix in high bits)
+    for t in range(m):
+        size = 4**t
+        nk = np.empty(4 * size, dtype=np.int64)
+        nkp = np.empty(4 * size, dtype=np.int64)
+        ns = np.empty(4 * size, dtype=np.int64)
+        for b, code in enumerate(BASE_CODES):
+            # prepending base b: new_key = b << (2t) | old_key
+            ek, ekp, es = _batched_backward_extend(idx, k, kp, s, int(code))
+            nk[b * size : (b + 1) * size] = ek
+            nkp[b * size : (b + 1) * size] = ekp
+            ns[b * size : (b + 1) * size] = es
+        k, kp, s = nk, nkp, ns
+    return np.stack((k, kp, s), axis=1)
+
+
+def read_mer_keys(codes: np.ndarray, lengths: np.ndarray, m: int):
+    """Per-position rolling m-mer keys for a read batch.
+
+    codes: [B, L] alphabet codes. Returns (keys [B, L+1] int32,
+    valid [B, L+1] bool) where entry i describes the window codes[i-m+1 .. i];
+    valid requires the window to be ACGT-only and fully inside the read.
+    """
+    B, L = codes.shape
+    base = CODE_TO_BASE[codes]
+    ok = base >= 0
+    keys = np.zeros((B, L + 1), dtype=np.int64)
+    valid = np.zeros((B, L + 1), dtype=bool)
+    if L >= m:
+        win = np.lib.stride_tricks.sliding_window_view(base, m, axis=1)  # [B, L-m+1, m]
+        okw = np.lib.stride_tricks.sliding_window_view(ok, m, axis=1).all(axis=2)
+        shifts = (2 * (m - 1 - np.arange(m))).astype(np.int64)
+        kv = (np.maximum(win, 0) << shifts[None, None, :]).sum(axis=2)
+        keys[:, m - 1 : L] = kv
+        inside = (np.arange(m - 1, L)[None, :] < lengths[:, None])
+        valid[:, m - 1 : L] = okw & inside
+    return keys.astype(np.int32), valid

@@ -1,0 +1,60 @@
+"""m-mer seed table: seeded MEM engine must be exactly equal to unseeded."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pangenome_index_tpu.formats.rlbwt import read_rlbwt
+from pangenome_index_tpu.models.rindex import build_rindex
+from pangenome_index_tpu.ops.mems import find_mems_batch
+from pangenome_index_tpu.ops.mertable import build_mer_table, read_mer_keys
+from pangenome_index_tpu.ops.tables import rindex_to_device
+from pangenome_index_tpu.utils.alphabet import BYTE_TO_CODE
+
+
+@pytest.mark.parametrize("m", [4, 6, 8])
+def test_seeded_equals_unseeded(ref_data, m):
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    t = rindex_to_device(idx)
+    with open(ref_data / "bidirectional_test/contigs_xy", "rb") as fh:
+        lines = [l for l in fh.read().split(b"\n") if l]
+    rng = np.random.default_rng(13)
+    N, L = 32, 60
+    reads = []
+    for _ in range(N):
+        l1 = lines[int(rng.integers(len(lines)))]
+        l2 = lines[int(rng.integers(len(lines)))]
+        a = int(rng.integers(0, len(l1) - L // 2))
+        b = int(rng.integers(0, len(l2) - L // 2))
+        reads.append(l1[a : a + L // 2] + l2[b : b + L // 2])
+    codes = np.zeros((N, L), np.int32)
+    lens = np.full(N, L, np.int32)
+    for i, r in enumerate(reads):
+        codes[i, :] = BYTE_TO_CODE[np.frombuffer(r, np.uint8)]
+    cd, ln = jnp.asarray(codes), jnp.asarray(lens)
+    mt = jnp.asarray(build_mer_table(idx, m), t.pos_dtype)
+    mk, mv = read_mer_keys(codes, lens, m)
+    for min_len, min_occ in [(10, 1), (12, 2), (m, 1)]:  # m==min_len: no seed path
+        ref = find_mems_batch(t, cd, ln, min_len, min_occ, capacity=16)
+        res = find_mems_batch(t, cd, ln, min_len, min_occ, capacity=16,
+                              mer_table=mt, mer_keys=jnp.asarray(mk),
+                              mer_valid=jnp.asarray(mv), mer_m=m)
+        for a, b in zip(res, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mer_table_values(ref_data):
+    # table entries equal stepwise backward extension of the mer
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    m = 5
+    table = build_mer_table(idx, m)
+    from pangenome_index_tpu.ops.mertable import BASE_CODES
+
+    rng = np.random.default_rng(1)
+    for _ in range(40):
+        key = int(rng.integers(0, 4**m))
+        bases = [(key >> (2 * (m - 1 - i))) & 3 for i in range(m)]
+        bint = (0, 0, idx.n)
+        for b in reversed(bases):
+            bint = idx.backward_extend(bint, int(BASE_CODES[b]))
+        assert tuple(table[key]) == bint
