@@ -328,7 +328,14 @@ def main(argv=None) -> int:
     mt.set_defaults(fn=cmd_merge_tags)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as exc:
+        print(f"panidx: {exc}", file=sys.stderr)
+        return 1
+    except ValueError as exc:
+        print(f"panidx: invalid input: {exc}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":
