@@ -79,6 +79,13 @@ def main():
     compile_s = time.perf_counter() - t0
     print(f"[bench] compile+first run: {compile_s:.1f}s, {total_mems} MEMs", file=sys.stderr)
 
+    profile_dir = os.environ.get("PANIDX_PROFILE_DIR")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            res = find_mems_batch(t, codes_d, lens_d, MIN_LEN, MIN_OCC, capacity=32, **mer_kw)
+            np.asarray(res.count)
+        print(f"[bench] profiler trace written to {profile_dir}", file=sys.stderr)
+
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):

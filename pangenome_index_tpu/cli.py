@@ -233,13 +233,22 @@ def cmd_extract_text(args) -> int:
 
 
 def cmd_build_bwt(args) -> int:
-    """Text -> .rl_bwt (replaces the external grlbwt-cli step). Uses the
-    multi-string rotation sort; suitable for small/medium inputs."""
+    """Text -> .rl_bwt (replaces the external grlbwt-cli step): multi-string
+    rotation sort, on the accelerator (--engine device, prefix doubling via
+    XLA sorts) or on the host."""
     from .formats.rlbwt import rlbwt_from_text, write_rlbwt
-    from .models.oracle import oracle_from_file
 
-    oracle = oracle_from_file(args.text)
-    rlbwt = rlbwt_from_text(oracle.bwt.tobytes())
+    if args.engine == "device":
+        from .ops.bwt import bwt_from_lines_device
+
+        with open(args.text, "rb") as fh:
+            lines = [l for l in fh.read().split(b"\n") if l]
+        bwt, _, _, _ = bwt_from_lines_device(lines)
+    else:
+        from .models.oracle import oracle_from_file
+
+        bwt = oracle_from_file(args.text).bwt
+    rlbwt = rlbwt_from_text(bwt.tobytes())
     write_rlbwt(args.output, rlbwt)
     print(f"build-bwt: {rlbwt.n_runs} runs over {rlbwt.size} characters", file=sys.stderr)
     return 0
@@ -311,6 +320,7 @@ def main(argv=None) -> int:
     bb = sub.add_parser("build-bwt")
     bb.add_argument("text")
     bb.add_argument("output")
+    bb.add_argument("--engine", choices=["device", "host"], default="host")
     bb.set_defaults(fn=cmd_build_bwt)
 
     bt = sub.add_parser("build-tags")
