@@ -176,16 +176,28 @@ def cmd_query_tags(args) -> int:
 
 
 def cmd_print_stats(args) -> int:
+    """Per-substructure sizes and bits/run (mirrors print_stats.cpp:100-115)."""
     from .formats import ri, tags as tagfmt
 
     idx = ri.load_file(args.ri)
-    print(f"R-index: {idx.n_runs} runs over BWT of size {idx.n}")
+    r = idx.n_runs
+    print(f"R-index: {r} runs over BWT of size {idx.n}")
     print(f"  sequences: {idx.n_seq}, max sequence length: {idx.max_len}")
-    print(f"  bits/run (flat tables): {(idx.run_sym.nbytes + idx.run_start.nbytes + idx.cum.nbytes + idx.samples.nbytes + idx.last_sorted.nbytes + idx.last_to_run.nbytes) * 8 / idx.n_runs:.2f}")
+    subs = [
+        ("run symbols", idx.run_sym.nbytes), ("run starts", idx.run_start.nbytes),
+        ("cumulative counts", idx.cum.nbytes), ("SA samples", idx.samples.nbytes),
+        ("last (run tails)", idx.last_sorted.nbytes), ("last_to_run", idx.last_to_run.nbytes),
+    ]
+    for name, nbytes in subs:
+        print(f"  {name:<20} {nbytes:>12} bytes  {nbytes * 8 / r:8.2f} bits/run")
+    total = sum(b for _, b in subs)
+    print(f"  {'total':<20} {total:>12} bytes  {total * 8 / r:8.2f} bits/run")
     if args.tags:
         tags = tagfmt.load_tags_file(args.tags)
+        tr = max(tags.n_runs, 1)
         print(f"Tag array: {tags.n_runs} runs covering {tags.total} BWT positions")
-        print(f"  bits/run (flat tables): {(tags.pos_enc.nbytes + tags.bwt_start.nbytes) * 8 / max(tags.n_runs, 1):.2f}")
+        for name, nbytes in [("positions", tags.pos_enc.nbytes), ("bwt starts", tags.bwt_start.nbytes)]:
+            print(f"  {name:<20} {nbytes:>12} bytes  {nbytes * 8 / tr:8.2f} bits/run")
     return 0
 
 

@@ -244,6 +244,16 @@ def load(data: bytes) -> RIndex:
     return idx
 
 
-def load_file(path) -> RIndex:
+def load_file(path, use_mmap: bool = False) -> RIndex:
+    """use_mmap avoids copying the file into anonymous memory before parsing
+    (the role of the reference's MemoryMappedIndexManager,
+    memory_mapped_index.hpp:21-148; unlike it, parsing here reads each region
+    once into flat arrays rather than re-deserializing a copied stream)."""
+    if use_mmap:
+        import mmap as _mmap
+
+        with open(path, "rb") as fh:
+            with _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ) as mm:
+                return load(bytes(mm))
     with open(path, "rb") as fh:
         return load(fh.read())

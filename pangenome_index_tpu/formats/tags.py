@@ -195,6 +195,12 @@ def load_tags(data: bytes) -> TagArray:
     return read_compressed_bytecode(data)
 
 
-def load_tags_file(path) -> TagArray:
+def load_tags_file(path, use_mmap: bool = False) -> TagArray:
+    if use_mmap:
+        import mmap as _mmap
+
+        with open(path, "rb") as fh:
+            with _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ) as mm:
+                return load_tags(bytes(mm))
     with open(path, "rb") as fh:
         return load_tags(fh.read())
