@@ -213,16 +213,41 @@ def cmd_convert_tags(args) -> int:
 
 
 def cmd_tags_check(args) -> int:
+    """Run-count reporting per file (tags_check.cpp:343-358); with
+    --verify-gbz/--verify-rlbwt, additionally cross-checks every tag value
+    against a fresh ground-truth build (the full r-index-vs-tags check the
+    reference carries commented out, tags_check.cpp:368-441)."""
+    import numpy as np
+
     from .formats import tags as tagfmt
 
+    truth = None
+    if args.verify_gbz and args.verify_rlbwt:
+        from .core.tagbuild import tags_per_row
+        from .formats.gbz import load_gbz
+        from .formats.rlbwt import read_rlbwt
+        from .models.rindex import build_rindex
+
+        gbz = load_gbz(args.verify_gbz)
+        idx = build_rindex(read_rlbwt(args.verify_rlbwt), keep_sa=True)
+        truth = tags_per_row(gbz, idx)
+
+    rc = 0
     for path in args.tags:
         try:
             tags = tagfmt.load_tags_file(path)
-            print(f"{path}: {tags.n_runs} runs, covers {tags.total} BWT positions")
-        except Exception as exc:  # mirror tags_check's per-file reporting
+        except Exception as exc:
             print(f"{path}: FAILED to load ({exc})", file=sys.stderr)
             return 1
-    return 0
+        print(f"{path}: {tags.n_runs} runs, covers {tags.total} BWT positions")
+        if truth is not None:
+            per_pos = np.repeat(tags.pos_enc, tags.run_lengths())
+            cmp = per_pos[-len(truth):] if len(per_pos) >= len(truth) else per_pos
+            ok = np.array_equal(cmp, truth[: len(cmp)])
+            mism = int((cmp != truth[: len(cmp)]).sum()) if not ok else 0
+            print(f"{path}: verification {'OK' if ok else f'FAILED ({mism} positions differ)'}")
+            rc = rc or (0 if ok else 1)
+    return rc
 
 
 def cmd_extract_text(args) -> int:
@@ -321,6 +346,8 @@ def main(argv=None) -> int:
 
     t = sub.add_parser("tags-check")
     t.add_argument("tags", nargs="+")
+    t.add_argument("--verify-gbz", help="cross-check tag values against a fresh build from this GBZ")
+    t.add_argument("--verify-rlbwt", help="the matching rl_bwt for --verify-gbz")
     t.set_defaults(fn=cmd_tags_check)
 
     et = sub.add_parser("extract-text")

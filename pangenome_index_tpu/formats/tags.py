@@ -182,7 +182,16 @@ def read_compressed_bytecode(data: bytes) -> TagArray:
 
 
 def load_tags(data: bytes) -> TagArray:
-    """Auto-detect compressed variant (2 vs 3) and load."""
+    """Auto-detect the format (algorithm container, compressed 2 or 3)."""
+    if len(data) >= 8:
+        # algorithm format: [u64 bit_count][payload padded to words], nothing
+        # after - the compressed formats carry trailing sd_vectors
+        nbits = int.from_bytes(data[:8], "little")
+        if nbits % 8 == 0 and 8 + ((nbits // 8 + 7) // 8) * 8 == len(data):
+            try:
+                return read_algorithm(data)
+            except Exception:
+                pass
     if len(data) >= 9:
         nbits = int.from_bytes(data[:8], "little")
         width = data[8]
