@@ -21,7 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASE_LEN = 500_000
+BASE_LEN = 500_000       # 4 Mbp total; auto-upgraded to 20 Mbp when cached
+BIG_BASE_LEN = 2_500_000
+BIG_SEED = 3
 N_HAPS = 8
 N_READS = 4096
 READ_LEN = 150
@@ -40,9 +42,19 @@ def main():
     from pangenome_index_tpu.utils.alphabet import BYTE_TO_CODE
     from pangenome_index_tpu.utils.synth import build_synth_index, synth_reads
 
+    import hashlib
+    import pathlib
+
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    # PANIDX_BENCH_BIG=1 selects the 20 Mbp workload (see PERF.md for its
+    # measured numbers); default is 4 Mbp - the ~190MB of 20 Mbp table
+    # transfers are too exposed to tunnel-latency variance for a timed run
+    big_key = hashlib.sha1(f"{BIG_BASE_LEN}-{N_HAPS}-0.002-{BIG_SEED}-v1".encode()).hexdigest()[:16]
+    use_big = os.environ.get("PANIDX_BENCH_BIG") == "1" and pathlib.Path(
+        cache, f"synth_{big_key}.npz").exists()
+    base_len, seed = (BIG_BASE_LEN, BIG_SEED) if use_big else (BASE_LEN, 0)
     t0 = time.perf_counter()
-    idx, lines = build_synth_index(BASE_LEN, N_HAPS, snp_rate=0.002, seed=0, cache_dir=cache)
+    idx, lines = build_synth_index(base_len, N_HAPS, snp_rate=0.002, seed=seed, cache_dir=cache)
     print(f"[bench] index: n={idx.n} runs={idx.n_runs} ({time.perf_counter()-t0:.1f}s)",
           file=sys.stderr)
 
@@ -123,7 +135,7 @@ def main():
     print(json.dumps({
         "metric": "mem_find_reads_per_s",
         "value": round(device_rps, 1),
-        "unit": "reads/s (150bp, minlen20, 4Mbp synthetic pangenome)",
+        "unit": f"reads/s (150bp, minlen20, {idx.n // 1_000_000}Mbp synthetic pangenome)",
         "vs_baseline": round(device_rps / host_rps, 2),
     }))
 

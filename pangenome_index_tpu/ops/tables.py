@@ -94,6 +94,11 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
         rec_np[:, 1] = idx.run_sym
         rec_np[:, 2:8] = idx.cum
         rec = jnp.asarray(rec_np, pd)
+    cum_arr = idx.cum
+    if dense or ultra:
+        # the per-run cum table is only read by the fallback rank path; do
+        # not ship the full copy to HBM when a fast-path table supersedes it
+        cum_arr = idx.cum[:1]
     elif bucketed:
         n_buckets = (idx.n >> BUCKET_SHIFT) + 2
         bucket_pos = np.arange(n_buckets, dtype=np.int64) << BUCKET_SHIFT
@@ -107,7 +112,7 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
         rank_table=rank_table,
         run_sym=jnp.asarray(idx.run_sym, jnp.int8),
         run_start=jnp.asarray(idx.run_start, pd),
-        cum=jnp.asarray(idx.cum, pd),
+        cum=jnp.asarray(cum_arr, pd),
         C=jnp.asarray(idx.C, pd),
         samples=jnp.asarray(samples_pad, pd),
         last_sorted=jnp.asarray(idx.last_sorted, pd),
