@@ -117,6 +117,28 @@ def test_mems_random_reads(xy):
             _mem_intervals_valid(idx, lines, read, mems, 10, min_occ)
 
 
+def test_backward_extension_matches_lf(xy):
+    # the forward component of each backward_extend step equals an
+    # independent LF computation (tests/test_rindex.cpp:288-337)
+    idx, lines = xy
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        line = lines[int(rng.integers(len(lines)))]
+        start = int(rng.integers(0, len(line) - 15))
+        pat = line[start : start + 15]
+        bint = (0, 0, idx.n)
+        rng_lf = (0, idx.n - 1)
+        for b in reversed(pat):
+            code = int(BYTE_TO_CODE[b])
+            bint = idx.backward_extend(bint, code)
+            rng_lf = idx.lf_range(rng_lf[0], rng_lf[1], code)
+            if bint[2] == 0:
+                assert rng_lf[0] > rng_lf[1]
+                break
+            assert bint[0] == rng_lf[0]
+            assert bint[2] == rng_lf[1] - rng_lf[0] + 1
+
+
 def test_mems_with_garbage_read(xy):
     idx, lines = xy
     mems = find_all_mems(idx, b"NNNNNNNNNNNN", min_len=5, min_occ=1)
