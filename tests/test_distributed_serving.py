@@ -1,0 +1,60 @@
+"""Full distributed serving step (MEM + tag lookup) vs single-device results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pangenome_index_tpu.formats import tags as tagfmt
+from pangenome_index_tpu.formats.rlbwt import read_rlbwt
+from pangenome_index_tpu.models.rindex import build_rindex
+from pangenome_index_tpu.ops.mems import find_mems_batch
+from pangenome_index_tpu.ops.tables import rindex_to_device, tags_to_device
+from pangenome_index_tpu.ops.tagquery import query_tags_batch
+from pangenome_index_tpu.parallel.engine import make_distributed_serving_step
+from pangenome_index_tpu.parallel.sharding import make_mesh, pad_rindex_tables
+from pangenome_index_tpu.utils.alphabet import BYTE_TO_CODE
+
+
+def test_distributed_serving_matches_single(ref_data):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    tags = tagfmt.load_tags_file(ref_data / "bidirectional_test/xy_bidirectional_compressed.tags")
+    with open(ref_data / "bidirectional_test/contigs_xy", "rb") as fh:
+        lines = [l for l in fh.read().split(b"\n") if l]
+    rng = np.random.default_rng(21)
+    B, L = 8, 30
+    reads = []
+    for _ in range(B):
+        l1 = lines[int(rng.integers(len(lines)))]
+        a = int(rng.integers(0, len(l1) - L))
+        reads.append(l1[a : a + L])
+    codes = np.zeros((B, L), np.int32)
+    lens = np.full(B, L, np.int32)
+    for i, r in enumerate(reads):
+        codes[i, :] = BYTE_TO_CODE[np.frombuffer(r, np.uint8)]
+
+    t_single = rindex_to_device(idx)
+    tt = tags_to_device(tags)
+    ref = find_mems_batch(t_single, jnp.asarray(codes), jnp.asarray(lens), 10, 1, capacity=8)
+
+    mesh = make_mesh(4, 2)
+    t_pad = pad_rindex_tables(idx, 2)
+    step = make_distributed_serving_step(mesh, capacity=8, tag_capacity=32)
+    with mesh:
+        res, tq, total = step(t_pad, tt, jnp.asarray(codes), jnp.asarray(lens),
+                              jnp.asarray(10, t_pad.pos_dtype), jnp.asarray(1, t_pad.pos_dtype))
+    assert int(total) == int(np.asarray(ref.count).sum())
+    np.testing.assert_array_equal(np.asarray(res.count), np.asarray(ref.count))
+    # tag results equal direct per-MEM queries
+    tq_pos = np.asarray(tq.positions).reshape(B, 8, 32)
+    for i in range(B):
+        for m in range(int(ref.count[i])):
+            start = int(ref.bwt_start[i, m])
+            end = start + int(ref.size[i, m]) - 1
+            direct = query_tags_batch(tt, jnp.asarray([start], tt.bwt_start.dtype),
+                                      jnp.asarray([end], tt.bwt_start.dtype), capacity=32)
+            nu = int(np.asarray(tq.n_unique)[i, m])
+            assert nu == int(direct.n_unique[0])
+            np.testing.assert_array_equal(tq_pos[i, m][:nu], np.asarray(direct.positions[0])[:nu])
