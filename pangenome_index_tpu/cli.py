@@ -90,6 +90,30 @@ def cmd_find_mems(args) -> int:
                 print(f"Number of unique positions: {len(vals)}")
                 print("".join(f"{v}, " for v in vals))
             print()
+    elif args.engine == "native":
+        from . import native
+
+        codes, lens = _pack_reads(reads)
+        tm = time.perf_counter()
+        s, e, b, z, cnt = native.find_mems_native(
+            idx, codes, lens, args.min_len, args.min_occ, capacity=args.mem_capacity)
+        total_mem_time = time.perf_counter() - tm
+        flat = [(i, m) for i in range(len(reads)) for m in range(int(cnt[i]))]
+        tq = time.perf_counter()
+        if flat:
+            qs = np.array([b[i, m] for i, m in flat])
+            qe = np.array([b[i, m] + z[i, m] - 1 for i, m in flat])
+            tpos, tuniq, truns = native.query_tags_native(tags, qs, qe, capacity=args.tag_capacity)
+        total_tag_time = time.perf_counter() - tq
+        fi = 0
+        for i in range(len(reads)):
+            print(f"Seq: {i + 1}")
+            for m in range(int(cnt[i])):
+                print(f"MEM START: {s[i, m]}, MEM END: {e[i, m]} BWT START: {b[i, m]} SIZE: {z[i, m]}")
+                print(f"Number of unique positions: {tuniq[fi]}")
+                print("".join(f"{v}, " for v in tpos[fi, : tuniq[fi]]))
+                fi += 1
+            print()
     else:
         import jax.numpy as jnp
 
@@ -153,6 +177,12 @@ def cmd_query_tags(args) -> int:
 
     if args.engine == "host":
         ranges = [idx.count(r) for r in reads]
+    elif args.engine == "native":
+        from . import native
+
+        codes, lens = _pack_reads(reads)
+        f, s = native.count_native(idx, codes, lens)
+        ranges = list(zip(f.tolist(), s.tolist()))
     else:
         import jax.numpy as jnp
 
@@ -328,7 +358,7 @@ def main(argv=None) -> int:
             q.add_argument("--dense", action="store_true", default=True,
                            help="dense rank tables (O(1) two-gather rank)")
             q.add_argument("--no-dense", dest="dense", action="store_false")
-        q.add_argument("--engine", choices=["device", "host"], default="device")
+        q.add_argument("--engine", choices=["device", "host", "native"], default="device")
         q.set_defaults(fn=fn)
 
     s = sub.add_parser("print-stats")

@@ -88,6 +88,33 @@ def find_mems_native(idx, codes: np.ndarray, lengths: np.ndarray,
     return out[0], out[1], out[2], out[3], count
 
 
+def query_tags_native(tags, starts: np.ndarray, ends: np.ndarray,
+                      capacity: int = 256, exact: bool = False,
+                      n_threads: int = 0):
+    """Batched tag interval queries; returns (positions [B, capacity],
+    n_unique [B], n_runs [B]) matching models.tagarray.TagArray.query."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    pos_enc = np.ascontiguousarray(tags.pos_enc, np.int64)
+    bwt_start = np.ascontiguousarray(tags.bwt_start, np.int64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    B = len(starts)
+    out_pos = np.zeros((B, capacity), np.int64)
+    out_unique = np.zeros(B, np.int32)
+    out_runs = np.zeros(B, np.int32)
+    lib.panindex_query_tags(
+        _ptr(pos_enc, ctypes.c_int64), _ptr(bwt_start, ctypes.c_int64),
+        ctypes.c_int64(tags.n_runs),
+        _ptr(starts, ctypes.c_int64), _ptr(ends, ctypes.c_int64),
+        ctypes.c_int64(B), ctypes.c_int64(capacity), ctypes.c_int(1 if exact else 0),
+        _ptr(out_pos, ctypes.c_int64), _ptr(out_unique, ctypes.c_int32),
+        _ptr(out_runs, ctypes.c_int32), ctypes.c_int32(n_threads),
+    )
+    return out_pos, out_unique, out_runs
+
+
 def count_native(idx, codes: np.ndarray, lengths: np.ndarray, n_threads: int = 0):
     lib = get_lib()
     if lib is None:

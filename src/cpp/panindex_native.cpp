@@ -173,6 +173,54 @@ void panindex_count(
     }
 }
 
+// Tag interval queries: for each [start_i, end_i], collect the unique packed
+// graph positions of the runs the reference's compact query would decode
+// (query_compressed_compact, tag_arrays.cpp:856-890, including its
+// every-10th-run skip quirk when exact == 0). Results go to
+// out_positions[i*capacity ..]; out_unique[i] = count (clamped to capacity).
+void panindex_query_tags(
+    const int64_t* pos_enc, const int64_t* bwt_start, int64_t t_runs,
+    const int64_t* q_start, const int64_t* q_end, int64_t n_queries,
+    int64_t capacity, int exact,
+    int64_t* out_positions, int32_t* out_unique, int32_t* out_runs,
+    int32_t n_threads)
+{
+#ifdef _OPENMP
+    if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+    for (int64_t i = 0; i < n_queries; ++i) {
+        // first_bit = #run-starts <= start (searchsorted right)
+        auto sright = [&](int64_t v) {
+            int64_t lo = 0, hi = t_runs;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (bwt_start[mid] <= v) lo = mid + 1; else hi = mid;
+            }
+            return lo;
+        };
+        int64_t first_bit = sright(q_start[i]);
+        int64_t end_bit = sright(q_end[i]);
+        int64_t run_nums = end_bit - first_bit + 1;
+        int64_t s = exact ? (first_bit > 0 ? first_bit - 1 : 0)
+                          : ((first_bit % 10 == 0) ? first_bit : first_bit - 1);
+        int64_t lo = s < 0 ? 0 : s;
+        int64_t hi = s + run_nums;
+        if (hi > t_runs) hi = t_runs;
+        int64_t* out = out_positions + i * capacity;
+        int64_t cnt = 0;
+        for (int64_t j = lo; j < hi && cnt < capacity; ++j) {
+            int64_t v = pos_enc[j];
+            bool seen = false;
+            for (int64_t q = 0; q < cnt; ++q) if (out[q] == v) { seen = true; break; }
+            if (!seen) out[cnt++] = v;
+        }
+        std::sort(out, out + cnt);
+        out_unique[i] = (int32_t)cnt;
+        out_runs[i] = (int32_t)run_nums;
+    }
+}
+
 int panindex_version() { return 1; }
 
 }  // extern "C"
