@@ -47,15 +47,16 @@ def _rotation_order(keys: np.ndarray) -> np.ndarray:
 
 
 def oracle_from_lines(lines: list[bytes]) -> OracleBWT:
+    n_seq = len(lines)
     parts = []
     seq_idx = []
     seq_lengths = []
     sa_pos_parts = []
     for i, line in enumerate(lines):
-        arr = np.frombuffer(line, dtype=np.uint8).astype(np.int64) + 256
-        # distinct separator per sequence, ordered by sequence index, smaller
-        # than every real character (mirrors '$'+i in test_rindex.cpp:76-92,
-        # where all separators sort below 'A')
+        # distinct separator per sequence (key i), ordered by sequence index,
+        # strictly below every real character (key byte + n_seq) - mirrors
+        # '$'+i in test_rindex.cpp:76-92 without a collision cap on n_seq
+        arr = np.frombuffer(line, dtype=np.uint8).astype(np.int64) + n_seq
         full = np.concatenate((arr, [i]))
         parts.append(full)
         seq_idx.append(np.full(full.size, i, dtype=np.int64))
@@ -68,7 +69,7 @@ def oracle_from_lines(lines: list[bytes]) -> OracleBWT:
     order = _rotation_order(keys)
     prev = (order - 1) % n
     bwt_keys = keys[prev]
-    bwt = np.where(bwt_keys >= 256, bwt_keys - 256, ord("\n")).astype(np.uint8)
+    bwt = np.where(bwt_keys >= n_seq, bwt_keys - n_seq, ord("\n")).astype(np.uint8)
     return OracleBWT(
         bwt=bwt,
         da=seq_idx[order],

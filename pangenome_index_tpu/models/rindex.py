@@ -201,6 +201,18 @@ def build_rindex(rlbwt: RLBWT, progress: bool = False, _sa_hint=None,
     syms = BYTE_TO_CODE[rlbwt.syms].astype(np.int8)
     freqs = rlbwt.freqs.astype(np.int64)
 
+    # the index is defined over the fixed 6-symbol alphabet (utils/alphabet);
+    # unknown bytes would silently alias to the endmarker and corrupt every
+    # structure downstream - reject them loudly
+    from ..utils.alphabet import NUC
+
+    bad = ~np.isin(rlbwt.syms, NUC)
+    if bad.any():
+        vals = sorted(set(int(b) for b in rlbwt.syms[bad]))[:10]
+        raise ValueError(
+            f"BWT contains bytes outside the {{\\n,A,C,G,N,T}} alphabet: {vals}"
+        )
+
     # split endmarker runs into unit runs (r-index.cpp:840-928)
     is_end = syms == 0
     reps = np.where(is_end, freqs, 1)
