@@ -43,8 +43,10 @@ def rank(t: RIndexTables, pos, code):
     """occ(code, [0, pos)) for batched pos [B] and codes [B] (or scalars)."""
     if t.rank_table is not None:
         pos = jnp.asarray(pos)
-        lane = jnp.arange(pos.shape[0]) if pos.ndim == 1 else 0
-        return t.rank_table[pos, code] if pos.ndim == 0 else t.rank_table[pos][lane, code]
+        if pos.ndim == 0:
+            return t.rank_table[pos, code]
+        lane = jnp.arange(pos.shape[0])
+        return t.rank_table[pos][lane, code]
     if t.pos_to_run is not None:
         j = t.pos_to_run[pos]
         row = t.rec[j]
@@ -64,7 +66,7 @@ def rank6(t: RIndexTables, pos):
     Dense mode: exactly two gathers (pos->run map, packed 32B record).
     """
     if t.rank_table is not None:
-        return t.rank_table[pos]
+        return t.rank_table[pos][..., :6]
     if t.pos_to_run is not None:
         j = t.pos_to_run[pos]
         row = t.rec[j]  # [B, 8]: start, sym, cum0..cum5

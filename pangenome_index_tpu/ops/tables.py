@@ -55,7 +55,9 @@ class RIndexTables(NamedTuple):
     pos_to_run: jax.Array | None = None  # [n+2] run id containing each position
     rec: jax.Array | None = None         # [r, 8] packed [start, sym, cum0..cum5]
     # ultra mode: per-position rank table - ONE gather per rank query
-    rank_table: jax.Array | None = None  # [n+2, 6] occ counts before each pos
+    # ([n+2, 8]: cols 0..5 = occ counts before the position, 6..7 padding so
+    # rows are 32-byte aligned - unaligned 24B rows measured ~2x slower)
+    rank_table: jax.Array | None = None
 
     @property
     def pos_dtype(self):
@@ -81,7 +83,7 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
     rec = None
     rank_table = None
     if ultra:
-        contrib = np.zeros((idx.n + 2, SIGMA), dtype=np.int64)
+        contrib = np.zeros((idx.n + 2, 8), dtype=np.int64)
         bwt_codes = np.repeat(idx.run_sym.astype(np.int64), idx.run_len)
         contrib[np.arange(1, idx.n + 1), bwt_codes] = 1
         rank_table = jnp.asarray(np.cumsum(contrib, axis=0), pd)

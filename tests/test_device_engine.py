@@ -26,13 +26,33 @@ def setup(ref_data):
     return idx, t, lines
 
 
-def test_rank_matches_host(setup):
-    idx, t, _ = setup
+@pytest.mark.parametrize("mode", [{}, {"dense": True}, {"ultra": True},
+                                  {"bucketed": False}])
+def test_rank_matches_host(setup, mode):
+    idx, _, _ = setup
+    t = rindex_to_device(idx, **mode)
     rng = np.random.default_rng(0)
     pos = rng.integers(0, idx.n + 1, size=256)
     host = np.stack([idx.rank6(int(p)) for p in pos])
     dev = np.asarray(rank.rank6(t, jnp.asarray(pos, t.pos_dtype)))
     np.testing.assert_array_equal(dev, host)
+
+
+@pytest.mark.parametrize("mode", [{"dense": True}, {"ultra": True}])
+def test_mems_fast_modes_match(setup, mode):
+    idx, t_ref, lines = setup
+    t = rindex_to_device(idx, **mode)
+    rng = np.random.default_rng(17)
+    reads = _make_reads(lines, rng, 12, length=40)
+    L = max(len(r) for r in reads)
+    codes = np.zeros((len(reads), L), np.int32)
+    lens = np.array([len(r) for r in reads], np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = BYTE_TO_CODE[np.frombuffer(r, np.uint8)]
+    ref = find_mems_batch(t_ref, jnp.asarray(codes), jnp.asarray(lens), 10, 1, capacity=16)
+    res = find_mems_batch(t, jnp.asarray(codes), jnp.asarray(lens), 10, 1, capacity=16)
+    for a, b in zip(res, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_count_matches_host(setup):
