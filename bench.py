@@ -83,26 +83,38 @@ def main():
     print(f"[bench] mer table m={MER_M} built in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     mer_kw = dict(mer_table=mer_table, mer_keys=mer_keys, mer_valid=mer_valid, mer_m=MER_M)
 
+    # lanes per launch: smaller batches reduce lockstep straggler waste
+    # (measured optimum ~2048 on v5e, see PERF.md)
+    CHUNK = 2048
+
+    def run_all():
+        counts = []
+        for s in range(0, N_READS, CHUNK):
+            kw = {k: (v[s : s + CHUNK] if k in ("mer_keys", "mer_valid") else v)
+                  for k, v in mer_kw.items()}
+            res = find_mems_batch(t, codes_d[s : s + CHUNK], lens_d[s : s + CHUNK],
+                                  MIN_LEN, MIN_OCC, capacity=32, **kw)
+            counts.append(np.asarray(res.count))  # host fetch = real sync
+        return np.concatenate(counts)
+
     # warmup / compile. NOTE: jax.block_until_ready does not synchronize under
     # the axon remote backend - force a host fetch to time real execution.
     t0 = time.perf_counter()
-    res = find_mems_batch(t, codes_d, lens_d, MIN_LEN, MIN_OCC, capacity=32, **mer_kw)
-    total_mems = int(np.asarray(res.count).sum())
+    all_counts = run_all()
+    total_mems = int(all_counts.sum())
     compile_s = time.perf_counter() - t0
     print(f"[bench] compile+first run: {compile_s:.1f}s, {total_mems} MEMs", file=sys.stderr)
 
     profile_dir = os.environ.get("PANIDX_PROFILE_DIR")
     if profile_dir:
         with jax.profiler.trace(profile_dir):
-            res = find_mems_batch(t, codes_d, lens_d, MIN_LEN, MIN_OCC, capacity=32, **mer_kw)
-            np.asarray(res.count)
+            run_all()
         print(f"[bench] profiler trace written to {profile_dir}", file=sys.stderr)
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = find_mems_batch(t, codes_d, lens_d, MIN_LEN, MIN_OCC, capacity=32, **mer_kw)
-        np.asarray(res.count)  # host fetch = real synchronization
+        all_counts = run_all()
     dt = (time.perf_counter() - t0) / iters
     device_rps = N_READS / dt
     print(f"[bench] device: {dt*1e3:.1f} ms/batch -> {device_rps:.0f} reads/s", file=sys.stderr)
@@ -121,7 +133,7 @@ def main():
         print(f"[bench] native C++ 1-thread baseline: {host_rps:.1f} reads/s "
               f"({int(cnt.sum())} MEMs on subset)", file=sys.stderr)
         # sanity: native MEM counts equal device counts on the subset
-        if not np.array_equal(cnt, np.asarray(res.count)[:nb]):
+        if not np.array_equal(cnt, all_counts[:nb]):
             print("[bench] WARNING: native/device MEM count mismatch", file=sys.stderr)
     else:
         t0 = time.perf_counter()
