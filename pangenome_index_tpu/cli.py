@@ -300,12 +300,25 @@ def cmd_extract_text(args) -> int:
 
 
 def cmd_build_bwt(args) -> int:
-    """Text -> .rl_bwt (replaces the external grlbwt-cli step): multi-string
-    rotation sort, on the accelerator (--engine device, prefix doubling via
-    XLA sorts) or on the host."""
+    """Text -> .rl_bwt (replaces the external grlbwt-cli step): linear-time
+    SA-IS in the native engine (default), prefix-doubling XLA sorts on the
+    accelerator (--engine device), or the host rotation sort (--engine host)."""
     from .formats.rlbwt import rlbwt_from_text, write_rlbwt
 
-    if args.engine == "device":
+    engine = args.engine
+    if engine == "native":
+        from . import native
+
+        if not native.available():
+            print("native engine unavailable; falling back to host", file=sys.stderr)
+            engine = "host"
+    if engine == "native":
+        from . import native
+
+        with open(args.text, "rb") as fh:
+            lines = [l for l in fh.read().split(b"\n") if l]
+        bwt, _, _, _ = native.build_bwt_native(lines)
+    elif engine == "device":
         from .ops.bwt import bwt_from_lines_device
 
         with open(args.text, "rb") as fh:
@@ -389,7 +402,7 @@ def main(argv=None) -> int:
     bb = sub.add_parser("build-bwt")
     bb.add_argument("text")
     bb.add_argument("output")
-    bb.add_argument("--engine", choices=["device", "host"], default="host")
+    bb.add_argument("--engine", choices=["native", "device", "host"], default="native")
     bb.set_defaults(fn=cmd_build_bwt)
 
     bt = sub.add_parser("build-tags")

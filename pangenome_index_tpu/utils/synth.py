@@ -66,9 +66,18 @@ def build_synth_index(base_len: int, n_haps: int, snp_rate: float = 0.002,
             last_sorted=z["last_sorted"], last_to_run=z["last_to_run"],
         )
         return idx, lines
-    oracle = oracle_from_lines(lines)
-    rlbwt = rlbwt_from_text(oracle.bwt.tobytes())
-    idx = build_rindex_from_sa(rlbwt, oracle.da, oracle.sa_pos, oracle.seq_lengths)
+    try:
+        from .. import native
+
+        if not native.available():
+            raise RuntimeError
+        bwt, da, sa_pos, seq_lengths = native.build_bwt_native(lines)
+    except Exception:
+        oracle = oracle_from_lines(lines)
+        bwt, da, sa_pos, seq_lengths = (oracle.bwt, oracle.da, oracle.sa_pos,
+                                        oracle.seq_lengths)
+    rlbwt = rlbwt_from_text(bwt.tobytes())
+    idx = build_rindex_from_sa(rlbwt, da, sa_pos, seq_lengths)
     if cache is not None:
         cache.parent.mkdir(parents=True, exist_ok=True)
         np.savez_compressed(

@@ -1,0 +1,168 @@
+// Linear-time suffix array construction (SA-IS) for the native BWT builder.
+//
+// The reference delegates BWT construction to the external grlBWT tool; our
+// host builder (models/oracle.py) uses an O(n log^2 n) rotation sort. This is
+// the production-scale path: SA-IS over the concatenated multi-string text
+// with distinct per-sequence separators (separator of sequence i gets symbol
+// 1+i, characters get n_seq+1+byte), which makes suffix order equal rotation
+// order - the multi-string BWT convention the whole pipeline uses.
+//
+// Exposed via the same C ABI as panindex_native.cpp.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+using idx_t = int64_t;
+
+// T[0..n-1] over alphabet [0, K); T[n-1] must be the unique smallest symbol.
+void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
+    if (n == 1) { SA[0] = 0; return; }
+
+    std::vector<uint8_t> is_s(n);
+    is_s[n - 1] = 1;
+    for (idx_t i = n - 2; i >= 0; --i)
+        is_s[i] = (T[i] < T[i + 1]) || (T[i] == T[i + 1] && is_s[i + 1]);
+    auto is_lms = [&](idx_t i) { return i > 0 && is_s[i] && !is_s[i - 1]; };
+
+    std::vector<idx_t> counts(K, 0), heads(K), tails(K);
+    for (idx_t i = 0; i < n; ++i) counts[T[i]]++;
+    auto reset_heads = [&] {
+        idx_t acc = 0;
+        for (idx_t c = 0; c < K; ++c) { heads[c] = acc; acc += counts[c]; }
+    };
+    auto reset_tails = [&] {
+        idx_t acc = 0;
+        for (idx_t c = 0; c < K; ++c) { acc += counts[c]; tails[c] = acc; }
+    };
+
+    auto induce = [&](const std::vector<idx_t>& lms_order) {
+        std::fill(SA, SA + n, (idx_t)-1);
+        // place LMS suffixes at bucket tails, last-to-first
+        reset_tails();
+        for (idx_t q = (idx_t)lms_order.size() - 1; q >= 0; --q) {
+            idx_t p = lms_order[q];
+            SA[--tails[T[p]]] = p;
+        }
+        // induce L-suffixes left-to-right
+        reset_heads();
+        for (idx_t i = 0; i < n; ++i) {
+            idx_t j = SA[i] - 1;
+            if (SA[i] > 0 && !is_s[j]) SA[heads[T[j]]++] = j;
+        }
+        // induce S-suffixes right-to-left
+        reset_tails();
+        for (idx_t i = n - 1; i >= 0; --i) {
+            idx_t j = SA[i] - 1;
+            if (SA[i] > 0 && is_s[j]) SA[--tails[T[j]]] = j;
+        }
+    };
+
+    // 1) first induce from unsorted LMS positions (text order)
+    std::vector<idx_t> lms;
+    for (idx_t i = 1; i < n; ++i)
+        if (is_lms(i)) lms.push_back(i);
+    induce(lms);
+
+    if (lms.empty()) return;  // only happens for trivial inputs
+
+    // 2) name LMS substrings in SA order
+    std::vector<idx_t> lms_sorted;
+    lms_sorted.reserve(lms.size());
+    for (idx_t i = 0; i < n; ++i)
+        if (is_lms(SA[i])) lms_sorted.push_back(SA[i]);
+
+    std::vector<idx_t> name_of(n, -1);
+    idx_t name = 0;
+    idx_t prev = -1;
+    for (idx_t q = 0; q < (idx_t)lms_sorted.size(); ++q) {
+        idx_t p = lms_sorted[q];
+        if (prev >= 0) {
+            // compare LMS substrings at prev and p
+            bool diff = false;
+            for (idx_t d = 0;; ++d) {
+                if (T[prev + d] != T[p + d] || is_s[prev + d] != is_s[p + d]) {
+                    diff = true;
+                    break;
+                }
+                if (d > 0 && (is_lms(prev + d) || is_lms(p + d))) {
+                    diff = !(is_lms(prev + d) && is_lms(p + d));
+                    break;
+                }
+            }
+            if (diff) ++name;
+        }
+        name_of[p] = name;
+        prev = p;
+    }
+    idx_t n_names = name + 1;
+
+    // 3) recurse if names repeat
+    std::vector<idx_t> order(lms.size());
+    if (n_names < (idx_t)lms.size()) {
+        std::vector<idx_t> T1(lms.size()), SA1(lms.size());
+        for (size_t q = 0; q < lms.size(); ++q) T1[q] = name_of[lms[q]];
+        sais_core(T1.data(), SA1.data(), (idx_t)lms.size(), n_names);
+        for (size_t q = 0; q < lms.size(); ++q) order[q] = lms[SA1[q]];
+    } else {
+        order.assign(lms_sorted.begin(), lms_sorted.end());
+    }
+
+    // 4) final induce from sorted LMS suffixes
+    induce(order);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Suffix array of T (values in [0, K), T[n-1] must be unique smallest).
+void panindex_sais(const int64_t* T, int64_t* SA, int64_t n, int64_t K) {
+    sais_core(T, SA, n, K);
+}
+
+// Multi-string BWT: text = concatenated sequences WITHOUT separators;
+// seq_ends[i] = exclusive end offset of sequence i in text (ascending).
+// Output arrays of length n = text_len + n_seq:
+//   bwt[j]   = byte of BWT row j ('\n' for separators)
+//   da[j]    = sequence id of row j's suffix
+//   sa_pos[j]= suffix offset within its sequence (separator at seq_len)
+void panindex_build_bwt(const uint8_t* text, int64_t text_len,
+                        const int64_t* seq_ends, int64_t n_seq,
+                        uint8_t* bwt, int64_t* da, int64_t* sa_pos) {
+    idx_t n = text_len + n_seq;
+    std::vector<idx_t> T(n + 1);
+    std::vector<idx_t> seq_of(n), pos_of(n);
+    idx_t w = 0, prev_end = 0;
+    for (idx_t i = 0; i < n_seq; ++i) {
+        idx_t end = seq_ends[i];
+        for (idx_t p = prev_end; p < end; ++p) {
+            T[w] = (idx_t)text[p] + n_seq + 1;
+            seq_of[w] = i;
+            pos_of[w] = p - prev_end;
+            ++w;
+        }
+        T[w] = 1 + i;  // distinct separator, ordered by sequence index
+        seq_of[w] = i;
+        pos_of[w] = end - prev_end;
+        ++w;
+        prev_end = end;
+    }
+    T[n] = 0;  // global sentinel for SA-IS
+    std::vector<idx_t> SA(n + 1);
+    sais_core(T.data(), SA.data(), n + 1, n_seq + 1 + 256);
+    // SA[0] == n (the sentinel); rows 1.. map to rotations
+    for (idx_t r = 1; r <= n; ++r) {
+        idx_t p = SA[r];
+        idx_t j = r - 1;
+        idx_t prev = (p + n - 1) % n;
+        idx_t tp = T[prev];
+        bwt[j] = tp > n_seq ? (uint8_t)(tp - n_seq - 1) : (uint8_t)'\n';
+        da[j] = seq_of[p];
+        sa_pos[j] = pos_of[p];
+    }
+}
+
+}  // extern "C"

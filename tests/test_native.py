@@ -47,3 +47,44 @@ def test_native_matches_host(ref_data):
     first, second = native.count_native(idx, codes, lens)
     for i, r in enumerate(reads):
         assert (first[i], second[i]) == idx.count(r)
+
+
+def test_sais_bwt_matches_oracle(ref_data):
+    from pangenome_index_tpu.models.oracle import oracle_from_file, oracle_from_lines
+
+    for name in ["med_test.txt", "bidirectional_test/contigs_xy"]:
+        with open(ref_data / name, "rb") as fh:
+            lines = [l for l in fh.read().split(b"\n") if l]
+        o = oracle_from_lines(lines)
+        bwt, da, sp, sl = native.build_bwt_native(lines)
+        np.testing.assert_array_equal(bwt, o.bwt)
+        np.testing.assert_array_equal(da, o.da)
+        np.testing.assert_array_equal(sp, o.sa_pos)
+        np.testing.assert_array_equal(sl, o.seq_lengths)
+    # fuzz: duplicates, tiny sequences, Ns
+    rng = np.random.default_rng(3)
+    for _ in range(8):
+        n_seq = int(rng.integers(1, 25))
+        base = rng.choice(np.frombuffer(b"ACGTN", np.uint8), int(rng.integers(3, 120)))
+        lines = [base.tobytes() if rng.random() < 0.4 else
+                 rng.choice(np.frombuffer(b"ACGT", np.uint8), int(rng.integers(1, 80))).tobytes()
+                 for _ in range(n_seq)]
+        o = oracle_from_lines(lines)
+        bwt, da, sp, sl = native.build_bwt_native(lines)
+        np.testing.assert_array_equal(bwt, o.bwt)
+        np.testing.assert_array_equal(da, o.da)
+        np.testing.assert_array_equal(sp, o.sa_pos)
+
+
+def test_native_tag_query_matches_model(ref_data):
+    from pangenome_index_tpu.formats import tags as tagfmt
+
+    tags = tagfmt.load_tags_file(ref_data / "bidirectional_test/xy_bidirectional_compressed.tags")
+    rng = np.random.default_rng(4)
+    starts = rng.integers(0, tags.total - 60, 100)
+    ends = starts + rng.integers(0, 60, 100)
+    pos, uniq, runs = native.query_tags_native(tags, starts, ends)
+    for i in range(100):
+        vals, nruns = tags.query(int(starts[i]), int(ends[i]))
+        assert runs[i] == nruns
+        np.testing.assert_array_equal(pos[i, : uniq[i]], vals)
