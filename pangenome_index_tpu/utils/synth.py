@@ -80,7 +80,7 @@ def build_synth_index(base_len: int, n_haps: int, snp_rate: float = 0.002,
     idx = build_rindex_from_sa(rlbwt, da, sa_pos, seq_lengths)
     if cache is not None:
         cache.parent.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(
+        np.savez(  # uncompressed: compression dominated build time at scale
             cache, run_sym=idx.run_sym, run_start=idx.run_start, run_len=idx.run_len,
             cum=idx.cum, C=idx.C, n=idx.n, n_seq=idx.n_seq, max_len=idx.max_len,
             samples=idx.samples, last_sorted=idx.last_sorted, last_to_run=idx.last_to_run,

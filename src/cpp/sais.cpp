@@ -15,7 +15,7 @@
 
 namespace {
 
-using idx_t = int64_t;
+using idx_t = int32_t;  // n < 2^31; halves the random-access working set
 
 // T[0..n-1] over alphabet [0, K); T[n-1] must be the unique smallest symbol.
 void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
@@ -120,7 +120,10 @@ extern "C" {
 
 // Suffix array of T (values in [0, K), T[n-1] must be unique smallest).
 void panindex_sais(const int64_t* T, int64_t* SA, int64_t n, int64_t K) {
-    sais_core(T, SA, n, K);
+    std::vector<idx_t> T32(n), SA32(n);
+    for (int64_t i = 0; i < n; ++i) T32[i] = (idx_t)T[i];
+    sais_core(T32.data(), SA32.data(), (idx_t)n, (idx_t)K);
+    for (int64_t i = 0; i < n; ++i) SA[i] = SA32[i];
 }
 
 // Multi-string BWT: text = concatenated sequences WITHOUT separators;
@@ -132,12 +135,12 @@ void panindex_sais(const int64_t* T, int64_t* SA, int64_t n, int64_t K) {
 void panindex_build_bwt(const uint8_t* text, int64_t text_len,
                         const int64_t* seq_ends, int64_t n_seq,
                         uint8_t* bwt, int64_t* da, int64_t* sa_pos) {
-    idx_t n = text_len + n_seq;
+    idx_t n = (idx_t)(text_len + n_seq);
     std::vector<idx_t> T(n + 1);
     std::vector<idx_t> seq_of(n), pos_of(n);
     idx_t w = 0, prev_end = 0;
-    for (idx_t i = 0; i < n_seq; ++i) {
-        idx_t end = seq_ends[i];
+    for (idx_t i = 0; i < (idx_t)n_seq; ++i) {
+        idx_t end = (idx_t)seq_ends[i];
         for (idx_t p = prev_end; p < end; ++p) {
             T[w] = (idx_t)text[p] + n_seq + 1;
             seq_of[w] = i;
@@ -152,14 +155,14 @@ void panindex_build_bwt(const uint8_t* text, int64_t text_len,
     }
     T[n] = 0;  // global sentinel for SA-IS
     std::vector<idx_t> SA(n + 1);
-    sais_core(T.data(), SA.data(), n + 1, n_seq + 1 + 256);
+    sais_core(T.data(), SA.data(), n + 1, (idx_t)n_seq + 1 + 256);
     // SA[0] == n (the sentinel); rows 1.. map to rotations
     for (idx_t r = 1; r <= n; ++r) {
         idx_t p = SA[r];
         idx_t j = r - 1;
         idx_t prev = (p + n - 1) % n;
         idx_t tp = T[prev];
-        bwt[j] = tp > n_seq ? (uint8_t)(tp - n_seq - 1) : (uint8_t)'\n';
+        bwt[j] = tp > (idx_t)n_seq ? (uint8_t)(tp - n_seq - 1) : (uint8_t)'\n';
         da[j] = seq_of[p];
         sa_pos[j] = pos_of[p];
     }
