@@ -98,6 +98,20 @@ def cmd_find_mems(args) -> int:
         s, e, b, z, cnt = native.find_mems_native(
             idx, codes, lens, args.min_len, args.min_occ, capacity=args.mem_capacity)
         total_mem_time = time.perf_counter() - tm
+        if (cnt > args.mem_capacity).any():
+            from .models.mems import find_all_mems
+
+            for i in np.flatnonzero(cnt > args.mem_capacity):
+                mems = find_all_mems(idx, reads[i], args.min_len, args.min_occ)
+                pad = max(len(mems) - s.shape[1], 0)
+                if pad:
+                    s = np.pad(s, ((0, 0), (0, pad)))
+                    e = np.pad(e, ((0, 0), (0, pad)))
+                    b = np.pad(b, ((0, 0), (0, pad)))
+                    z = np.pad(z, ((0, 0), (0, pad)))
+                for m, mm in enumerate(mems):
+                    s[i, m], e[i, m], b[i, m], z[i, m] = mm.start, mm.end, mm.bwt_start, mm.size
+                cnt[i] = len(mems)
         flat = [(i, m) for i in range(len(reads)) for m in range(int(cnt[i]))]
         tq = time.perf_counter()
         if flat:
@@ -136,9 +150,29 @@ def cmd_find_mems(args) -> int:
         res = find_mems_batch(t, jnp.asarray(codes), jnp.asarray(lens),
                               args.min_len, args.min_occ, capacity=args.mem_capacity,
                               **mer_kw)
-        res = [np.asarray(a) for a in res]
+        res = [np.array(a) for a in res]  # writable copies (overflow fix-ups)
         total_mem_time = time.perf_counter() - tm
         starts, ends, bwts, sizes, counts, overflow = res
+        # reads whose MEM count exceeded the device buffer re-run on the host
+        if overflow.any():
+            from .models.mems import find_all_mems
+
+            for i in np.flatnonzero(overflow):
+                mems = find_all_mems(idx, reads[i], args.min_len, args.min_occ)
+                counts[i] = len(mems)
+                full = np.zeros((4, len(mems)), dtype=starts.dtype)
+                for m, mm in enumerate(mems):
+                    full[:, m] = (mm.start, mm.end, mm.bwt_start, mm.size)
+                pad = max(len(mems) - starts.shape[1], 0)
+                if pad:
+                    starts = np.pad(starts, ((0, 0), (0, pad)))
+                    ends = np.pad(ends, ((0, 0), (0, pad)))
+                    bwts = np.pad(bwts, ((0, 0), (0, pad)))
+                    sizes = np.pad(sizes, ((0, 0), (0, pad)))
+                starts[i, : len(mems)] = full[0]
+                ends[i, : len(mems)] = full[1]
+                bwts[i, : len(mems)] = full[2]
+                sizes[i, : len(mems)] = full[3]
         # batched tag queries over all MEMs at once
         flat = [(i, m) for i in range(len(reads)) for m in range(int(counts[i]))]
         tq = time.perf_counter()
