@@ -119,6 +119,37 @@ def main():
     device_rps = N_READS / dt
     print(f"[bench] device: {dt*1e3:.1f} ms/batch -> {device_rps:.0f} reads/s", file=sys.stderr)
 
+    # LF-steps/s (the BASELINE.json inner-loop metric): fixed-iteration
+    # extension loop, all lanes always active
+    import jax.numpy as jnp_
+    from pangenome_index_tpu.ops import fmd
+
+    @jax.jit
+    def ext_loop(t, k, kp, s, c, iters2):
+        def body(i, st):
+            k, kp, s = st
+            nk, nkp, ns = fmd.extend(t, k, kp, s, (c + i) % 5 + 1)
+            empty = ns <= 0
+            return (jnp_.where(empty, 0, nk), jnp_.where(empty, 0, nkp),
+                    jnp_.where(empty, t.n, ns))
+        k, kp, s = jax.lax.fori_loop(0, iters2, body, (k, kp, s))
+        return k.sum() + kp.sum() + s.sum()
+
+    Bx = 4096
+    kz = jnp.zeros(Bx, t.run_start.dtype)
+    sz = jnp.full(Bx, idx.n, t.run_start.dtype)
+    cz = jnp.zeros(Bx, jnp.int32)
+    float(ext_loop(t, kz, kz, sz, cz, 100))
+    t0 = time.perf_counter()
+    float(ext_loop(t, kz, kz, sz, cz, 1100))
+    d1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(ext_loop(t, kz, kz, sz, cz, 100))
+    d0 = time.perf_counter() - t0
+    ext_rate = Bx * 1000 / max(d1 - d0, 1e-9)
+    print(f"[bench] LF/extension steps: {ext_rate/1e6:.1f} M/s "
+          f"(each = 2 six-symbol rank queries)", file=sys.stderr)
+
     # CPU baseline: native C++ engine (single thread - the per-core baseline;
     # the reference's deployment is one process per chromosome with OpenMP)
     from pangenome_index_tpu import native
