@@ -50,3 +50,32 @@ def test_cli_error_paths(ref_data, tmp_path):
     assert r.returncode == 1 and b"panidx:" in r.stderr
     r = run(["tags-check", "/bin/ls"], tmp_path, check=False)
     assert r.returncode == 1
+
+
+def test_synthetic_graph_full_pipeline(tmp_path):
+    """sequences -> GBZ -> text -> BWT -> r-index -> tags -> MEMs, all via the
+    CLI on a generated graph (no reference fixtures involved)."""
+    import numpy as np
+
+    from pangenome_index_tpu.core.gbwt_build import random_pangenome_gbz
+    from pangenome_index_tpu.formats.gbz_write import save_gbz
+
+    rng = np.random.default_rng(23)
+    gbz = random_pangenome_gbz(rng, n_nodes=40, n_paths=3)
+    save_gbz(gbz, tmp_path / "synth.gbz")
+
+    run(["extract-text", "synth.gbz", "-o", "synth.txt"], tmp_path)
+    run(["build-bwt", "synth.txt", "synth.rl_bwt"], tmp_path)
+    run(["build-rindex", "synth.rl_bwt", "-o", "synth.ri"], tmp_path)
+    run(["build-tags", "synth.gbz", "synth.rl_bwt", "synth.tags"], tmp_path)
+    run(["convert-tags", "synth.tags", "synth_c.tags", "--compact", "--no-compat"], tmp_path)
+    r = run(["tags-check", "synth_c.tags", "--verify-gbz", "synth.gbz",
+             "--verify-rlbwt", "synth.rl_bwt"], tmp_path)
+    assert b"verification OK" in r.stdout
+    # reads from the haplotypes
+    lines = [l for l in (tmp_path / "synth.txt").read_bytes().split(b"\n") if l]
+    reads = [lines[0][:30], lines[-1][5:35]]
+    (tmp_path / "reads.txt").write_bytes(b"\n".join(reads) + b"\n")
+    out = run(["find-mems", "synth.ri", "synth_c.tags", "reads.txt", "10", "1",
+               "--engine", "host"], tmp_path)
+    assert b"MEM START: 0" in out.stdout
