@@ -183,5 +183,44 @@ def main():
     }))
 
 
+def orchestrate():
+    """Run the measurement in a subprocess with a timeout; the TPU tunnel in
+    this environment has multi-minute stalls and occasional outages, and a
+    hung transfer would otherwise leave the driver with no result. Falls back
+    to the XLA-CPU backend (clearly labeled) if the TPU attempt dies."""
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    attempts = [
+        (dict(os.environ), 480, "tpu"),
+        ({**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"},
+         420, "cpu-fallback"),
+    ]
+    for env, tmo, label in attempts:
+        try:
+            r = subprocess.run([sys.executable, here, "--inner"], env=env,
+                               capture_output=True, timeout=tmo)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] {label} attempt timed out after {tmo}s", file=sys.stderr)
+            continue
+        sys.stderr.write(r.stderr.decode(errors="replace"))
+        out = r.stdout.decode(errors="replace").strip().splitlines()
+        if r.returncode == 0 and out and out[-1].startswith("{"):
+            if label != "tpu":
+                rec = json.loads(out[-1])
+                rec["unit"] += f" [{label}]"
+                print(json.dumps(rec))
+            else:
+                print(out[-1])
+            return 0
+        print(f"[bench] {label} attempt failed (rc={r.returncode})", file=sys.stderr)
+    print(json.dumps({"metric": "mem_find_reads_per_s", "value": 0,
+                      "unit": "reads/s (bench could not run)", "vs_baseline": 0}))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(orchestrate())
