@@ -147,10 +147,17 @@ def cmd_find_mems(args) -> int:
             mer_kw = dict(mer_table=mt, mer_keys=jnp.asarray(mk),
                           mer_valid=jnp.asarray(mv), mer_m=args.mer_len)
         tm = time.perf_counter()
-        res = find_mems_batch(t, jnp.asarray(codes), jnp.asarray(lens),
-                              args.min_len, args.min_occ, capacity=args.mem_capacity,
-                              **mer_kw)
-        res = [np.array(a) for a in res]  # writable copies (overflow fix-ups)
+        B = args.batch_size
+        parts = []
+        for s0 in range(0, len(reads), B):
+            kw = {k: (v[s0 : s0 + B] if k in ("mer_keys", "mer_valid") else v)
+                  for k, v in mer_kw.items()}
+            r = find_mems_batch(t, jnp.asarray(codes[s0 : s0 + B]),
+                                jnp.asarray(lens[s0 : s0 + B]),
+                                args.min_len, args.min_occ,
+                                capacity=args.mem_capacity, **kw)
+            parts.append([np.array(a) for a in r])  # writable (overflow fix-ups)
+        res = [np.concatenate([p[i] for p in parts]) for i in range(6)]
         total_mem_time = time.perf_counter() - tm
         starts, ends, bwts, sizes, counts, overflow = res
         # reads whose MEM count exceeded the device buffer re-run on the host
@@ -402,6 +409,8 @@ def main(argv=None) -> int:
             q.add_argument("--tag-capacity", type=int, default=256)
             q.add_argument("--mer-len", type=int, default=8,
                            help="m-mer seed table size (0 disables)")
+            q.add_argument("--batch-size", type=int, default=2048,
+                           help="device lanes per launch (straggler optimum)")
             q.add_argument("--dense", action="store_true", default=True,
                            help="dense rank tables (O(1) two-gather rank)")
             q.add_argument("--no-dense", dest="dense", action="store_false")

@@ -38,6 +38,10 @@ void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
         for (idx_t c = 0; c < K; ++c) { acc += counts[c]; tails[c] = acc; }
     };
 
+    // the induce scans are memory-latency bound at scale (random SA writes
+    // through bucket pointers); prefetching the source slots a few iterations
+    // ahead overlaps the misses
+    constexpr idx_t PF = 16;
     auto induce = [&](const std::vector<idx_t>& lms_order) {
         std::fill(SA, SA + n, (idx_t)-1);
         // place LMS suffixes at bucket tails, last-to-first
@@ -49,12 +53,26 @@ void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
         // induce L-suffixes left-to-right
         reset_heads();
         for (idx_t i = 0; i < n; ++i) {
+            if (i + PF < n) {
+                idx_t sp = SA[i + PF];
+                if (sp > 0) {
+                    __builtin_prefetch(&T[sp - 1]);
+                    __builtin_prefetch(&is_s[sp - 1]);
+                }
+            }
             idx_t j = SA[i] - 1;
             if (SA[i] > 0 && !is_s[j]) SA[heads[T[j]]++] = j;
         }
         // induce S-suffixes right-to-left
         reset_tails();
         for (idx_t i = n - 1; i >= 0; --i) {
+            if (i - PF >= 0) {
+                idx_t sp = SA[i - PF];
+                if (sp > 0) {
+                    __builtin_prefetch(&T[sp - 1]);
+                    __builtin_prefetch(&is_s[sp - 1]);
+                }
+            }
             idx_t j = SA[i] - 1;
             if (SA[i] > 0 && is_s[j]) SA[--tails[T[j]]] = j;
         }
