@@ -36,8 +36,10 @@ def extend(t: RIndexTables, k, kp, s, code, forward=None, rank6_fn=None):
     bk = jnp.where(forward, kp, k)
     bkp = jnp.where(forward, k, kp)
 
-    r_k = rank6_fn(bk)          # [B, 6]
-    r_ks = rank6_fn(bk + s)     # [B, 6]
+    # one fused double-width rank batch (halves kernel launches per step)
+    both = rank6_fn(jnp.concatenate((bk, bk + s)))
+    r_k = both[: k.shape[0]]    # [B, 6]
+    r_ks = both[k.shape[0] :]   # [B, 6]
     delta = r_ks - r_k
 
     w = t.kp_weight[ext_code]   # [B, 6]
