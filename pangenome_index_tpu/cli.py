@@ -378,7 +378,8 @@ def cmd_build_bwt(args) -> int:
 def cmd_build_tags(args) -> int:
     from .core.tagbuild import build_tags_pipeline
 
-    return build_tags_pipeline(args.gbz, args.rl_bwt, args.output, k=args.k)
+    return build_tags_pipeline(args.gbz, args.rl_bwt, args.output, k=args.k,
+                               stats=args.stats)
 
 
 def cmd_merge_tags(args) -> int:
@@ -453,6 +454,8 @@ def main(argv=None) -> int:
     bt.add_argument("rl_bwt")
     bt.add_argument("output")
     bt.add_argument("--k", type=int, default=31)
+    bt.add_argument("--stats", action="store_true",
+                    help="run the anchored pipeline for coverage statistics")
     bt.set_defaults(fn=cmd_build_tags)
 
     mt = sub.add_parser("merge-tags")

@@ -91,9 +91,11 @@ def build_tags(gbz: GBZ, idx: RIndex) -> TagArray:
     return TagArray.from_runs(vals, lens)
 
 
-def build_tags_pipeline(gbz_path: str, rlbwt_path: str, output_path: str, k: int = 31) -> int:
-    """CLI driver (panidx build-tags): mirrors build_tags.cpp phases with the
-    anchored coverage statistics, then writes the algorithm-format stream."""
+def build_tags_pipeline(gbz_path: str, rlbwt_path: str, output_path: str,
+                        k: int = 31, stats: bool = False) -> int:
+    """CLI driver (panidx build-tags): direct SA-based construction; with
+    stats=True also runs the anchored pipeline for the coverage fractions the
+    reference reports (build_tags.cpp:124-126, 163-165)."""
     from ..formats import tags as tagfmt
     from ..formats.gbz import load_gbz
     from ..formats.rlbwt import read_rlbwt
@@ -101,6 +103,20 @@ def build_tags_pipeline(gbz_path: str, rlbwt_path: str, output_path: str, k: int
     print("Loading the graph file", file=sys.stderr)
     gbz = load_gbz(gbz_path)
     idx = build_rindex(read_rlbwt(rlbwt_path), keep_sa=True)
+    if stats:
+        from .anchor import anchor_kmers, extend_runs
+        from .kmers import unique_kmers
+
+        keys, pos = unique_kmers(gbz, k)
+        print(f"The number of unique kmers in the index is: {len(keys)}", file=sys.stderr)
+        rs, rl, rp = anchor_kmers(idx, keys, pos, k)
+        covered = int(rl.sum())
+        print(f"The fraction of the tag arrays covered by unique kmers is: "
+              f"{covered} / {idx.n} = {covered / idx.n}", file=sys.stderr)
+        _, el, _, _ = extend_runs(gbz, idx, rs, rl, rp, max_rounds=10_000)
+        covered2 = int(el.sum())
+        print(f"The fraction of the tag arrays covered after extending the kmers is: "
+              f"{covered2} / {idx.n} = {covered2 / idx.n}", file=sys.stderr)
     tags = build_tags(gbz, idx)
     data = tagfmt.write_algorithm(tags)
     with open(output_path, "wb") as fh:
