@@ -79,3 +79,14 @@ def test_synthetic_graph_full_pipeline(tmp_path):
     out = run(["find-mems", "synth.ri", "synth_c.tags", "reads.txt", "10", "1",
                "--engine", "host"], tmp_path)
     assert b"MEM START: 0" in out.stdout
+
+
+def test_facade_api(ref_data):
+    import pangenome_index_tpu as px
+
+    idx = px.build_index([b"GATTACAGATTACAGT", b"ACTGCCAATGTTTGCC"])
+    t = px.to_device(idx, dense=False)
+    mems = px.find_mems(t, [b"GATTACA"], min_len=4, min_occ=1)
+    assert len(mems) == 1 and all(len(m) == 4 for m in mems[0])
+    ri = px.load_rindex(ref_data / "bidirectional_test/xy.ri")
+    assert ri.n == 8022
