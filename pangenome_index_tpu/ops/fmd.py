@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils.alphabet import COMP_CODE
 from .rank import rank6
 from .tables import RIndexTables
 
@@ -26,13 +27,24 @@ def extend(t: RIndexTables, k, kp, s, code, forward=None, rank6_fn=None):
     rank6_fn(pos)->[B,6] overrides the rank provider (used by the
     model-sharded distributed engine, parallel/engine.py).
     Returns (k, kp, s) after extension; failed lanes get (0, 0, 0).
+
+    All small-table lookups (comp, C, kp_weight) and the per-lane column
+    selects are one-hot vector math, not gathers: on v5e the loop is
+    gather-issue-rate bound (~78M rows/s per stream), so every per-lane
+    gather stream removed from the inner loop is ~7% wall time; 6-wide
+    one-hot selects are effectively free on the VPU.
     """
     if forward is None:
         forward = jnp.zeros(k.shape, dtype=bool)
     if rank6_fn is None:
         rank6_fn = lambda pos: rank6(t, pos)
     code = code.astype(jnp.int32)
-    ext_code = jnp.where(forward, t.comp[code], code)
+    sym6 = jnp.arange(6, dtype=jnp.int32)[None, :]
+    oh_code = sym6 == code[:, None]                      # [B, 6] bool
+    comp_val = (jnp.where(oh_code, t.comp[None, :], 0)).sum(axis=1)
+    ext_code = jnp.where(forward, comp_val, code)
+    comp_ext = jnp.where(forward, code, comp_val)        # comp is an involution
+    oh = sym6 == ext_code[:, None]                       # [B, 6] bool
     bk = jnp.where(forward, kp, k)
     bkp = jnp.where(forward, k, kp)
 
@@ -42,12 +54,17 @@ def extend(t: RIndexTables, k, kp, s, code, forward=None, rank6_fn=None):
     r_ks = both[k.shape[0] :]   # [B, 6]
     delta = r_ks - r_k
 
-    w = t.kp_weight[ext_code]   # [B, 6]
-    nkp = bkp + (w * delta).sum(axis=1)
+    # sum_d kp_weight[ext_code, d]*delta[d] with kp_weight[c,d]=[comp d < comp c]
+    # = exclusive-prefix-sum of comp-permuted delta, read at column comp(c);
+    # the permutation is static, so this is pure [B,6] vector math (no [B,6,6])
+    pdelta = delta[:, COMP_CODE]
+    excl = jnp.cumsum(pdelta, axis=1) - pdelta
+    oh_ce = sym6 == comp_ext[:, None]
+    nkp = bkp + jnp.where(oh_ce, excl, 0).sum(axis=1)
 
-    lane = jnp.arange(k.shape[0])
-    d_c = delta[lane, ext_code]
-    nk = r_k[lane, ext_code] + t.C[ext_code]
+    d_c = jnp.where(oh, delta, 0).sum(axis=1)
+    c_c = (jnp.where(oh, t.C[None, :6], 0)).sum(axis=1)
+    nk = jnp.where(oh, r_k, 0).sum(axis=1) + c_c
     ns = d_c
 
     ok = ns > 0

@@ -61,6 +61,26 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
     M = capacity
     lanes = jnp.arange(B)
 
+    # Pre-resolve the m-mer seed lookups for every read position ONCE, outside
+    # the loop: seed_*[b, i] = (k, kp, s) of the m-mer window ending at i,
+    # with s = 0 for invalid windows. Inside the loop a seed is then a single
+    # per-lane row lookup instead of 4 (keys, valid, table row x2).
+    seed_k = seed_kp = seed_s = None
+    if mer_table is not None:
+        rows = mer_table[mer_keys.reshape(-1)].reshape(B, L + 1, 3)
+        ok = mer_valid & (rows[..., 2] > 0)
+        rows = jnp.where(ok[..., None], rows, 0).astype(pd)
+        seed_k, seed_kp, seed_s = rows[..., 0], rows[..., 1], rows[..., 2]
+
+    # Per-lane lookups into the [B, L+1] read-local tables (codes, seeds) are
+    # one-hot select-sums, not gathers: the loop is bound by gather/scatter
+    # row issue rate (~78M rows/s), while an L-wide masked reduction is a few
+    # microseconds of VPU time for thousands of lanes.
+    iotaL = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+
+    def take_local(tab, idx):
+        return jnp.where(iotaL == idx[:, None], tab, 0).sum(axis=1)
+
     class S(NamedTuple):
         phase: jax.Array
         x: jax.Array
@@ -71,7 +91,7 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         k2: jax.Array
         kp2: jax.Array
         s2: jax.Array
-        m_start: jax.Array
+        m_start: jax.Array   # [B, M]
         m_end: jax.Array
         m_bwt: jax.Array
         m_size: jax.Array
@@ -103,25 +123,26 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         k = jnp.where(enter1, 0, k)
         kp = jnp.where(enter1, 0, kp)
         s = jnp.where(enter1, N, s)
-        if mer_table is not None:
+        if seed_k is not None:
             # seed step 1 with the precomputed m-mer interval of the window
             # ending at x+min_len-1 (exact: interval sizes are non-increasing,
             # so a passing seed implies every skipped check passed; a failing
             # seed falls back to stepwise extension)
-            widx = jnp.clip(x + min_len - 1, 0, L)
-            row = mer_table[mer_keys[lanes, widx]]
-            can1 = (enter1 & (min_len > mer_m) & mer_valid[lanes, widx]
-                    & (row[:, 2] >= min_occ) & (row[:, 2] > 0))
+            widx = jnp.clip(x + min_len - 1, 0, L).astype(jnp.int32)
+            oh_w = iotaL == widx[:, None]
+            row_s = jnp.where(oh_w, seed_s, 0).sum(axis=1)
+            can1 = (enter1 & (min_len > mer_m)
+                    & (row_s >= min_occ) & (row_s > 0))
             j = jnp.where(can1, x + min_len - 1 - mer_m, j)
-            k = jnp.where(can1, row[:, 0], k)
-            kp = jnp.where(can1, row[:, 1], kp)
-            s = jnp.where(can1, row[:, 2], s)
+            k = jnp.where(can1, jnp.where(oh_w, seed_k, 0).sum(axis=1), k)
+            kp = jnp.where(can1, jnp.where(oh_w, seed_kp, 0).sum(axis=1), kp)
+            s = jnp.where(can1, row_s, s)
 
         # --- one extension step for all active lanes ---
         p1, p2, p3 = phase == 1, phase == 2, phase == 3
         act = p1 | p2 | p3
-        jc = jnp.clip(j, 0, L)
-        c = codes[lanes, jc]
+        jc = jnp.clip(j, 0, L).astype(jnp.int32)
+        c = take_local(codes, jc)
         nk, nkp, ns = extend(t, k, kp, s, c, forward=p2, rank6_fn=rank6_fn)
         fail = act & ((ns < min_occ) | (ns <= 0))
 
@@ -155,10 +176,17 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         emit = p1_to3 | p2_fail | p2_to3
         e_val = jnp.where(p1_to3, e1, jnp.where(p2_fail, j, lengths))
 
-        cnt_c = jnp.minimum(st.cnt, M - 1)
+        # MEM emission as a one-hot ADD, not a scatter: each (lane, col) slot
+        # is written at most once (cnt strictly increments on emit), buffers
+        # start at zero, and overflow columns mask to nothing - so += of a
+        # one-hot outer product is exact and keeps the loop free of scatter
+        # rows (the loop is gather/scatter row-issue-rate bound).
+        oh_col = (jnp.arange(M, dtype=jnp.int32)[None, :] == st.cnt[:, None]) \
+            & emit[:, None]                                       # [B, M]
+
         def put(buf, val):
-            old = buf[lanes, cnt_c]
-            return buf.at[lanes, cnt_c].set(jnp.where(emit & (st.cnt < M), val, old))
+            return buf + jnp.where(oh_col, val[:, None].astype(pd), 0)
+
         m_start = put(st.m_start, x)
         m_end = put(st.m_end, e_val)
         m_bwt = put(st.m_bwt, k2)
@@ -187,17 +215,18 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         k = jnp.where(restart3, 0, k)
         kp = jnp.where(restart3, 0, kp)
         s = jnp.where(restart3, N, s)
-        if mer_table is not None:
+        if seed_k is not None:
             # seed step 3 with the m-mer ending at e (only when strictly more
             # than m characters remain before x, and the window is in-read)
-            eidx = jnp.clip(e_val, 0, L)
-            row3 = mer_table[mer_keys[lanes, eidx]]
-            can3 = (emit & mer_valid[lanes, eidx] & (e_val - mer_m > x)
-                    & (row3[:, 2] >= min_occ) & (row3[:, 2] > 0))
+            eidx = jnp.clip(e_val, 0, L).astype(jnp.int32)
+            oh_e = iotaL == eidx[:, None]
+            row3_s = jnp.where(oh_e, seed_s, 0).sum(axis=1)
+            can3 = (emit & (e_val - mer_m > x)
+                    & (row3_s >= min_occ) & (row3_s > 0))
             j = jnp.where(can3, e_val - mer_m, j)
-            k = jnp.where(can3, row3[:, 0], k)
-            kp = jnp.where(can3, row3[:, 1], kp)
-            s = jnp.where(can3, row3[:, 2], s)
+            k = jnp.where(can3, jnp.where(oh_e, seed_k, 0).sum(axis=1), k)
+            kp = jnp.where(can3, jnp.where(oh_e, seed_kp, 0).sum(axis=1), kp)
+            s = jnp.where(can3, row3_s, s)
 
         return S(phase, x, j, k, kp, s, k2, kp2, s2,
                  m_start, m_end, m_bwt, m_size, cnt, st.it + 1)
@@ -245,19 +274,15 @@ def find_mems_stream(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         k2: jax.Array
         kp2: jax.Array
         s2: jax.Array
-        m_start: jax.Array      # [N, M]
-        m_end: jax.Array
-        m_bwt: jax.Array
-        m_size: jax.Array
+        m_out: jax.Array        # [N, M, 4] packed (start, end, bwt, size)
         cnt: jax.Array          # [N]
         it: jax.Array
 
     z = jnp.zeros(B, pd)
-    zM = jnp.zeros((N, M), pd)
     st = S(phase=jnp.zeros(B, jnp.int32), ridx=jnp.arange(B, dtype=jnp.int32),
            next_read=jnp.asarray(B, jnp.int32),
            x=z, j=z, k=z, kp=z, s=z, k2=z, kp2=z, s2=z,
-           m_start=zM, m_end=zM, m_bwt=zM, m_size=zM,
+           m_out=jnp.zeros((N, M, 4), pd),
            cnt=jnp.zeros(N, jnp.int32), it=jnp.zeros((), jnp.int32))
 
     max_iters = 8 * (L + 1) * (L + 1) * ((N + B - 1) // B) + 64
@@ -327,16 +352,9 @@ def find_mems_stream(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         e_val = jnp.where(p1_to3, e1, jnp.where(p2_fail, j, rlen))
 
         cnt_lane = st.cnt[ridx]
-        cnt_c = jnp.minimum(cnt_lane, M - 1)
-
-        def put(buf, val):
-            old = buf[ridx, cnt_c]
-            return buf.at[ridx, cnt_c].set(jnp.where(emit & (cnt_lane < M), val, old))
-
-        m_start = put(st.m_start, x)
-        m_end = put(st.m_end, e_val)
-        m_bwt = put(st.m_bwt, k2)
-        m_size = put(st.m_size, s2)
+        col = jnp.where(emit, cnt_lane, M)
+        vals = jnp.stack((x, e_val, k2, s2), axis=-1).astype(pd)
+        m_out = st.m_out.at[ridx, col].set(vals, mode="drop")
         cnt = st.cnt.at[ridx].add(emit.astype(jnp.int32))
 
         x = jnp.where(p1_fail | p3_fail, j + 1, jnp.where(p3_done, x + 1, x))
@@ -358,8 +376,8 @@ def find_mems_stream(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         s = jnp.where(emit, Nn, s)
 
         return S(phase, ridx, next_read, x, j, k, kp, s, k2, kp2, s2,
-                 m_start, m_end, m_bwt, m_size, cnt, st.it + 1)
+                 m_out, cnt, st.it + 1)
 
     st = jax.lax.while_loop(cond, body, st)
-    return MemResult(st.m_start, st.m_end, st.m_bwt, st.m_size,
-                     st.cnt, st.cnt > M)
+    return MemResult(st.m_out[..., 0], st.m_out[..., 1], st.m_out[..., 2],
+                     st.m_out[..., 3], st.cnt, st.cnt > M)
