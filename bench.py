@@ -34,6 +34,17 @@ BASELINE_READS = 24
 
 def main():
     import jax
+
+    # persistent XLA compilation cache: repeat runs skip the (tunnel-exposed)
+    # compile round-trips for the MEM engine and the on-device mer-table build
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache", "xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from pangenome_index_tpu.models.mems import find_all_mems
@@ -71,21 +82,23 @@ def main():
     codes_d = jax.device_put(jnp.asarray(codes), dev)
     lens_d = jax.device_put(jnp.asarray(lens), dev)
 
-    # m-mer seed table (skips the first m extensions of MEM steps 1 and 3)
-    from pangenome_index_tpu.ops.mertable import build_mer_table, read_mer_keys
+    # m-mer seed table (skips the first m extensions of MEM steps 1 and 3),
+    # built on device: the expansion is itself batched extension, and at m=12
+    # it avoids both a ~100 s host build and a 200 MB host->HBM transfer
+    from pangenome_index_tpu.ops.mertable import build_mer_table_device, read_mer_keys
 
-    MER_M = 10
+    MER_M = 12
     t0 = time.perf_counter()
-    mer_table = jax.device_put(jnp.asarray(build_mer_table(idx, MER_M), t.run_start.dtype), dev)
+    mer_table = build_mer_table_device(t, MER_M)
     mk, mv = read_mer_keys(codes, lens, MER_M)
     mer_keys = jax.device_put(jnp.asarray(mk), dev)
     mer_valid = jax.device_put(jnp.asarray(mv), dev)
     print(f"[bench] mer table m={MER_M} built in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     mer_kw = dict(mer_table=mer_table, mer_keys=mer_keys, mer_valid=mer_valid, mer_m=MER_M)
 
-    # lanes per launch: smaller batches reduce lockstep straggler waste
-    # (measured optimum ~2048 on v5e, see PERF.md)
-    CHUNK = 2048
+    # lanes per launch (measured optimum ~4096 on v5e with the gather-free
+    # loop body; straggler waste is only ~1.2x at these sizes, see PERF.md)
+    CHUNK = 4096
 
     def run_all():
         counts = []

@@ -58,3 +58,14 @@ def test_mer_table_values(ref_data):
         for b in reversed(bases):
             bint = idx.backward_extend(bint, int(BASE_CODES[b]))
         assert tuple(table[key]) == bint
+
+
+def test_mer_table_device_equals_host(ref_data):
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    t = rindex_to_device(idx)
+    from pangenome_index_tpu.ops.mertable import build_mer_table_device
+
+    for m in (1, 3, 6):
+        host = build_mer_table(idx, m)
+        dev = np.asarray(build_mer_table_device(t, m))
+        np.testing.assert_array_equal(dev, host.astype(dev.dtype))
