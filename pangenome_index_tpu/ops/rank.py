@@ -51,8 +51,13 @@ def rank(t: RIndexTables, pos, code):
         j = t.pos_to_run[pos]
         row = t.rec[j]
         extra = jnp.where(row[..., 1] == code, pos - row[..., 0], 0)
-        lane = jnp.arange(row.shape[0]) if row.ndim == 2 else 0
-        return row[lane, 2 + code] + extra
+        if row.ndim == 2:
+            # per-lane column select as one-hot math, not a gather (the
+            # query loops are gather-row-issue-rate bound)
+            code_b = jnp.broadcast_to(jnp.asarray(code, jnp.int32), row.shape[:1])
+            oh = jnp.arange(6, dtype=jnp.int32)[None, :] == code_b[:, None]
+            return jnp.where(oh, row[:, 2:8], 0).sum(axis=1) + extra
+        return row[2 + code] + extra
     j = run_of(t, pos)
     sym = t.run_sym[j].astype(code.dtype if hasattr(code, "dtype") else jnp.int32)
     extra = jnp.where(sym == code, pos - t.run_start[j], 0)
@@ -106,13 +111,15 @@ def count(t: RIndexTables, codes, lengths):
     pd = t.pos_dtype
     first = jnp.zeros(B, pd)
     second = jnp.full(B, t.n - 1, pd)
+    iotaL = jnp.arange(L, dtype=jnp.int32)[None, :]
 
     def body(i, state):
         first, second = state
         # position from the right: index lengths-1-i, skip when i >= length
-        pos = lengths - 1 - i
+        pos = (lengths - 1 - i).astype(jnp.int32)
         active = pos >= 0
-        c = jnp.take_along_axis(codes, jnp.maximum(pos, 0)[:, None], axis=1)[:, 0]
+        # read-local code lookup as a one-hot select-sum (no gather row)
+        c = jnp.where(iotaL == pos[:, None], codes, 0).sum(axis=1)
         nf, ns = lf_range(t, first, second, c.astype(pd))
         first = jnp.where(active, nf, first)
         second = jnp.where(active, ns, second)
