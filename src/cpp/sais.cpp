@@ -4,8 +4,18 @@
 // host builder (models/oracle.py) uses an O(n log^2 n) rotation sort. This is
 // the production-scale path: SA-IS over the concatenated multi-string text
 // with distinct per-sequence separators (separator of sequence i gets symbol
-// 1+i, characters get n_seq+1+byte), which makes suffix order equal rotation
-// order - the multi-string BWT convention the whole pipeline uses.
+// 1+i, characters get dense codes above the separators), which makes suffix
+// order equal rotation order - the multi-string BWT convention the whole
+// pipeline uses.
+//
+// Performance: the induce scans are memory-latency bound at scale (random
+// reads of the type/symbol of SA[i]-1 plus a random SA write through a bucket
+// pointer). Symbol and S/L-type are therefore PACKED into one array
+// (TS[i] = sym<<1 | is_s), sized uint8/uint16/uint32 by alphabet width, so
+// each induce step costs one random read + one random write instead of three
+// random accesses; prefetch hints overlap the remaining misses. The text
+// alphabet is densified in panindex_build_bwt (n_seq + #distinct bytes + 1
+// codes), which keeps TS in uint8 for any realistic pangenome.
 //
 // Exposed via the same C ABI as panindex_native.cpp.
 
@@ -17,18 +27,21 @@ namespace {
 
 using idx_t = int32_t;  // n < 2^31; halves the random-access working set
 
-// T[0..n-1] over alphabet [0, K); T[n-1] must be the unique smallest symbol.
-void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
-    if (n == 1) { SA[0] = 0; return; }
+constexpr idx_t PF = 16;  // prefetch distance in the induce scans
 
-    std::vector<uint8_t> is_s(n);
-    is_s[n - 1] = 1;
-    for (idx_t i = n - 2; i >= 0; --i)
-        is_s[i] = (T[i] < T[i + 1]) || (T[i] == T[i + 1] && is_s[i + 1]);
-    auto is_lms = [&](idx_t i) { return i > 0 && is_s[i] && !is_s[i - 1]; };
+void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K);
+
+// Core over the packed representation. TS[i] = (symbol << 1) | is_s.
+// TS[n-1] must be the unique smallest symbol (and is S-type by definition).
+template <typename TS_T>
+void sais_ts(const TS_T* TS, idx_t* SA, idx_t n, idx_t K) {
+    if (n == 1) { SA[0] = 0; return; }
+    auto sym = [&](idx_t i) -> idx_t { return (idx_t)(TS[i] >> 1); };
+    auto s_type = [&](idx_t i) -> bool { return TS[i] & 1; };
+    auto is_lms = [&](idx_t i) { return i > 0 && s_type(i) && !s_type(i - 1); };
 
     std::vector<idx_t> counts(K, 0), heads(K), tails(K);
-    for (idx_t i = 0; i < n; ++i) counts[T[i]]++;
+    for (idx_t i = 0; i < n; ++i) counts[sym(i)]++;
     auto reset_heads = [&] {
         idx_t acc = 0;
         for (idx_t c = 0; c < K; ++c) { heads[c] = acc; acc += counts[c]; }
@@ -38,43 +51,33 @@ void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
         for (idx_t c = 0; c < K; ++c) { acc += counts[c]; tails[c] = acc; }
     };
 
-    // the induce scans are memory-latency bound at scale (random SA writes
-    // through bucket pointers); prefetching the source slots a few iterations
-    // ahead overlaps the misses
-    constexpr idx_t PF = 16;
     auto induce = [&](const std::vector<idx_t>& lms_order) {
         std::fill(SA, SA + n, (idx_t)-1);
         // place LMS suffixes at bucket tails, last-to-first
         reset_tails();
         for (idx_t q = (idx_t)lms_order.size() - 1; q >= 0; --q) {
             idx_t p = lms_order[q];
-            SA[--tails[T[p]]] = p;
+            SA[--tails[sym(p)]] = p;
         }
         // induce L-suffixes left-to-right
         reset_heads();
         for (idx_t i = 0; i < n; ++i) {
             if (i + PF < n) {
                 idx_t sp = SA[i + PF];
-                if (sp > 0) {
-                    __builtin_prefetch(&T[sp - 1]);
-                    __builtin_prefetch(&is_s[sp - 1]);
-                }
+                if (sp > 0) __builtin_prefetch(&TS[sp - 1]);
             }
             idx_t j = SA[i] - 1;
-            if (SA[i] > 0 && !is_s[j]) SA[heads[T[j]]++] = j;
+            if (SA[i] > 0 && !(TS[j] & 1)) SA[heads[TS[j] >> 1]++] = j;
         }
         // induce S-suffixes right-to-left
         reset_tails();
         for (idx_t i = n - 1; i >= 0; --i) {
             if (i - PF >= 0) {
                 idx_t sp = SA[i - PF];
-                if (sp > 0) {
-                    __builtin_prefetch(&T[sp - 1]);
-                    __builtin_prefetch(&is_s[sp - 1]);
-                }
+                if (sp > 0) __builtin_prefetch(&TS[sp - 1]);
             }
             idx_t j = SA[i] - 1;
-            if (SA[i] > 0 && is_s[j]) SA[--tails[T[j]]] = j;
+            if (SA[i] > 0 && (TS[j] & 1)) SA[--tails[TS[j] >> 1]] = j;
         }
     };
 
@@ -86,7 +89,8 @@ void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
 
     if (lms.empty()) return;  // only happens for trivial inputs
 
-    // 2) name LMS substrings in SA order
+    // 2) name LMS substrings in SA order (packed compare: TS equality is
+    //    exactly (symbol, type) equality)
     std::vector<idx_t> lms_sorted;
     lms_sorted.reserve(lms.size());
     for (idx_t i = 0; i < n; ++i)
@@ -98,10 +102,9 @@ void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
     for (idx_t q = 0; q < (idx_t)lms_sorted.size(); ++q) {
         idx_t p = lms_sorted[q];
         if (prev >= 0) {
-            // compare LMS substrings at prev and p
             bool diff = false;
             for (idx_t d = 0;; ++d) {
-                if (T[prev + d] != T[p + d] || is_s[prev + d] != is_s[p + d]) {
+                if (TS[prev + d] != TS[p + d]) {
                     diff = true;
                     break;
                 }
@@ -122,7 +125,11 @@ void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
     if (n_names < (idx_t)lms.size()) {
         std::vector<idx_t> T1(lms.size()), SA1(lms.size());
         for (size_t q = 0; q < lms.size(); ++q) T1[q] = name_of[lms[q]];
-        sais_core(T1.data(), SA1.data(), (idx_t)lms.size(), n_names);
+        name_of.clear(); name_of.shrink_to_fit();
+        lms_sorted.clear(); lms_sorted.shrink_to_fit();
+        // pack the reduced problem (T1[last] = 0 is unique smallest: it names
+        // the final LMS substring, the sentinel suffix)
+        sais_core(T1.data(), SA1.data(), (idx_t)T1.size(), n_names);
         for (size_t q = 0; q < lms.size(); ++q) order[q] = lms[SA1[q]];
     } else {
         order.assign(lms_sorted.begin(), lms_sorted.end());
@@ -130,6 +137,24 @@ void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
 
     // 4) final induce from sorted LMS suffixes
     induce(order);
+}
+
+// Entry: plain int32 text + alphabet size; packs and dispatches by K.
+void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
+    if (n == 1) { SA[0] = 0; return; }
+    auto build_and_run = [&](auto tag) {
+        using P = decltype(tag);
+        std::vector<P> TS(n);
+        TS[n - 1] = (P)((T[n - 1] << 1) | 1);
+        for (idx_t i = n - 2; i >= 0; --i) {
+            bool s = (T[i] < T[i + 1]) || (T[i] == T[i + 1] && (TS[i + 1] & 1));
+            TS[i] = (P)((T[i] << 1) | (s ? 1 : 0));
+        }
+        sais_ts<P>(TS.data(), SA, n, K);
+    };
+    if (K <= 128) build_and_run((uint8_t)0);
+    else if (K <= 32768) build_and_run((uint16_t)0);
+    else build_and_run((uint32_t)0);
 }
 
 }  // namespace
@@ -154,13 +179,23 @@ void panindex_build_bwt(const uint8_t* text, int64_t text_len,
                         const int64_t* seq_ends, int64_t n_seq,
                         uint8_t* bwt, int64_t* da, int64_t* sa_pos) {
     idx_t n = (idx_t)(text_len + n_seq);
+    // dense, order-preserving byte remap: separators take codes 1..n_seq,
+    // present bytes take n_seq+1.. in byte order. Keeps the SA-IS alphabet
+    // (and the packed TS array) as small as the data allows.
+    idx_t code_of[256];
+    {
+        bool present[256] = {false};
+        for (int64_t p = 0; p < text_len; ++p) present[text[p]] = true;
+        idx_t next = (idx_t)n_seq + 1;
+        for (int b = 0; b < 256; ++b) code_of[b] = present[b] ? next++ : -1;
+    }
     std::vector<idx_t> T(n + 1);
     std::vector<idx_t> seq_of(n), pos_of(n);
     idx_t w = 0, prev_end = 0;
     for (idx_t i = 0; i < (idx_t)n_seq; ++i) {
         idx_t end = (idx_t)seq_ends[i];
         for (idx_t p = prev_end; p < end; ++p) {
-            T[w] = (idx_t)text[p] + n_seq + 1;
+            T[w] = code_of[text[p]];
             seq_of[w] = i;
             pos_of[w] = p - prev_end;
             ++w;
@@ -172,15 +207,21 @@ void panindex_build_bwt(const uint8_t* text, int64_t text_len,
         prev_end = end;
     }
     T[n] = 0;  // global sentinel for SA-IS
+    idx_t K = 0;
+    for (idx_t i = 0; i <= n; ++i) if (T[i] >= K) K = T[i] + 1;
     std::vector<idx_t> SA(n + 1);
-    sais_core(T.data(), SA.data(), n + 1, (idx_t)n_seq + 1 + 256);
+    sais_core(T.data(), SA.data(), n + 1, K);
+    // dense code -> byte back-map for BWT output
+    uint8_t byte_of[512] = {0};
+    for (int b = 0; b < 256; ++b)
+        if (code_of[b] >= 0) byte_of[code_of[b]] = (uint8_t)b;
     // SA[0] == n (the sentinel); rows 1.. map to rotations
     for (idx_t r = 1; r <= n; ++r) {
         idx_t p = SA[r];
         idx_t j = r - 1;
         idx_t prev = (p + n - 1) % n;
         idx_t tp = T[prev];
-        bwt[j] = tp > (idx_t)n_seq ? (uint8_t)(tp - n_seq - 1) : (uint8_t)'\n';
+        bwt[j] = tp > (idx_t)n_seq ? byte_of[tp] : (uint8_t)'\n';
         da[j] = seq_of[p];
         sa_pos[j] = pos_of[p];
     }
