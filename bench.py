@@ -90,6 +90,8 @@ def main():
     MER_M = 12
     t0 = time.perf_counter()
     mer_table = build_mer_table_device(t, MER_M)
+    np.asarray(mer_table[:4])  # host fetch = real sync (block_until_ready is
+    # a no-op under the axon backend), so the timing covers the device work
     mk, mv = read_mer_keys(codes, lens, MER_M)
     mer_keys = jax.device_put(jnp.asarray(mk), dev)
     mer_valid = jax.device_put(jnp.asarray(mv), dev)

@@ -28,11 +28,12 @@ def extend(t: RIndexTables, k, kp, s, code, forward=None, rank6_fn=None):
     model-sharded distributed engine, parallel/engine.py).
     Returns (k, kp, s) after extension; failed lanes get (0, 0, 0).
 
-    All small-table lookups (comp, C, kp_weight) and the per-lane column
-    selects are one-hot vector math, not gathers: on v5e the loop is
-    gather-issue-rate bound (~78M rows/s per stream), so every per-lane
-    gather stream removed from the inner loop is ~7% wall time; 6-wide
-    one-hot selects are effectively free on the VPU.
+    All small-table lookups (the complement, C, the kp_weight contraction)
+    and the per-lane column selects are one-hot vector math, not gathers: on
+    v5e the loop is gather-issue-rate bound, so every per-lane gather stream
+    removed from the inner loop is real wall time; 6-wide one-hot selects are
+    effectively free on the VPU. The complement permutation comes from
+    utils/alphabet.COMP_CODE (the single authority for the code space).
     """
     if forward is None:
         forward = jnp.zeros(k.shape, dtype=bool)
@@ -41,7 +42,8 @@ def extend(t: RIndexTables, k, kp, s, code, forward=None, rank6_fn=None):
     code = code.astype(jnp.int32)
     sym6 = jnp.arange(6, dtype=jnp.int32)[None, :]
     oh_code = sym6 == code[:, None]                      # [B, 6] bool
-    comp_val = (jnp.where(oh_code, t.comp[None, :], 0)).sum(axis=1)
+    comp_row = jnp.asarray(COMP_CODE, jnp.int32)[None, :]  # static constant
+    comp_val = (jnp.where(oh_code, comp_row, 0)).sum(axis=1)
     ext_code = jnp.where(forward, comp_val, code)
     comp_ext = jnp.where(forward, code, comp_val)        # comp is an involution
     oh = sym6 == ext_code[:, None]                       # [B, 6] bool

@@ -59,7 +59,6 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
     min_occ = jnp.asarray(min_occ, pd)
     N = t.n.astype(pd)
     M = capacity
-    lanes = jnp.arange(B)
 
     # Pre-resolve the m-mer seed lookups for every read position ONCE, outside
     # the loop: seed_*[b, i] = (k, kp, s) of the m-mer window ending at i,
@@ -260,7 +259,6 @@ def find_mems_stream(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
     min_occ = jnp.asarray(min_occ, pd)
     Nn = t.n.astype(pd)
     M = capacity
-    lane_ids = jnp.arange(B)
 
     class S(NamedTuple):
         phase: jax.Array

@@ -62,6 +62,9 @@ def build_mer_table(idx: RIndex, m: int) -> np.ndarray:
     return np.stack((k, kp, s), axis=1)
 
 
+_build_mer_jit = None
+
+
 def build_mer_table_device(t, m: int) -> "jax.Array":
     """Device-side table build: level-synchronous batched extension with the
     device rank tables (the same expansion as build_mer_table, on-device).
@@ -69,31 +72,36 @@ def build_mer_table_device(t, m: int) -> "jax.Array":
 
     All m levels are traced inside ONE jit (static, growing shapes), so the
     whole expansion is a single compile + a single dispatch: at m=12 that is
-    ~2s of device time for the 22M extensions, instead of m round-trips."""
-    import functools
+    ~2s of device time for the 22M extensions, instead of m round-trips.
+    The jitted builder is module-level, so repeat calls with the same
+    tables/m hit the jit cache instead of re-tracing."""
+    global _build_mer_jit
+    if _build_mer_jit is None:
+        import functools
 
-    import jax
-    import jax.numpy as jnp
+        import jax
+        import jax.numpy as jnp
 
-    from .fmd import extend
+        from .fmd import extend
 
-    @functools.partial(jax.jit, static_argnames="m")
-    def _build(t, m):
-        pd = t.pos_dtype
-        k = jnp.zeros(1, pd)
-        kp = jnp.zeros(1, pd)
-        s = jnp.full(1, t.n, pd)
-        for _ in range(m):
-            outs = []
-            for code in BASE_CODES.tolist():
-                c = jnp.full(k.shape, code, jnp.int32)
-                outs.append(extend(t, k, kp, s, c))
-            k = jnp.concatenate([o[0] for o in outs])
-            kp = jnp.concatenate([o[1] for o in outs])
-            s = jnp.concatenate([o[2] for o in outs])
-        return jnp.stack((k, kp, s), axis=1)
+        @functools.partial(jax.jit, static_argnames="m")
+        def _build(t, m):
+            pd = t.pos_dtype
+            k = jnp.zeros(1, pd)
+            kp = jnp.zeros(1, pd)
+            s = jnp.full(1, t.n, pd)
+            for _ in range(m):
+                outs = []
+                for code in BASE_CODES.tolist():
+                    c = jnp.full(k.shape, code, jnp.int32)
+                    outs.append(extend(t, k, kp, s, c))
+                k = jnp.concatenate([o[0] for o in outs])
+                kp = jnp.concatenate([o[1] for o in outs])
+                s = jnp.concatenate([o[2] for o in outs])
+            return jnp.stack((k, kp, s), axis=1)
 
-    return _build(t, m)
+        _build_mer_jit = _build
+    return _build_mer_jit(t, m)
 
 
 def read_mer_keys(codes: np.ndarray, lengths: np.ndarray, m: int):

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..models.rindex import RIndex
 from ..models.tagarray import TagArray
-from ..utils.alphabet import COMP_CODE, KP_WEIGHT, SIGMA
+from ..utils.alphabet import SIGMA
 
 
 def _pick_dtype(*maxvals: int):
@@ -44,8 +44,6 @@ class RIndexTables(NamedTuple):
     samples: jax.Array     # [r+1]  packed SA sample per run head (+1 pad)
     last_sorted: jax.Array # [r]    sorted packed run-tail text positions
     last_to_run: jax.Array # [r]
-    comp: jax.Array        # [6]    complement in code space
-    kp_weight: jax.Array   # [6,6]  FMD reverse-interval advance weights
     n: jax.Array           # []     BWT size
     n_seq: jax.Array       # []
     max_len: jax.Array     # []
@@ -119,8 +117,6 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
         samples=jnp.asarray(samples_pad, pd),
         last_sorted=jnp.asarray(idx.last_sorted, pd),
         last_to_run=jnp.asarray(idx.last_to_run, pd),
-        comp=jnp.asarray(COMP_CODE, jnp.int32),
-        kp_weight=jnp.asarray(KP_WEIGHT, pd),
         n=jnp.asarray(idx.n, pd),
         n_seq=jnp.asarray(idx.n_seq, pd),
         max_len=jnp.asarray(idx.max_len, pd),

@@ -30,7 +30,7 @@ from .sharding import distributed_rank6
 _RUN_SPECS = RIndexTables(
     run_sym=P("model"), run_start=P("model"), cum=P("model", None),
     C=P(), samples=P(), last_sorted=P(), last_to_run=P(),
-    comp=P(), kp_weight=P(), n=P(), n_seq=P(), max_len=P(),
+    n=P(), n_seq=P(), max_len=P(),
 )
 
 

@@ -78,8 +78,6 @@ def shard_tables(t: RIndexTables, mesh: Mesh) -> RIndexTables:
         samples=put(t.samples, repl),
         last_sorted=put(t.last_sorted, repl),
         last_to_run=put(t.last_to_run, repl),
-        comp=put(t.comp, repl),
-        kp_weight=put(t.kp_weight, repl),
         n=put(t.n, repl),
         n_seq=put(t.n_seq, repl),
         max_len=put(t.max_len, repl),

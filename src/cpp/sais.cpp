@@ -211,8 +211,9 @@ void panindex_build_bwt(const uint8_t* text, int64_t text_len,
     for (idx_t i = 0; i <= n; ++i) if (T[i] >= K) K = T[i] + 1;
     std::vector<idx_t> SA(n + 1);
     sais_core(T.data(), SA.data(), n + 1, K);
-    // dense code -> byte back-map for BWT output
-    uint8_t byte_of[512] = {0};
+    // dense code -> byte back-map for BWT output (codes go up to
+    // n_seq + #distinct bytes, so this must be sized by K, not 256)
+    std::vector<uint8_t> byte_of(K, 0);
     for (int b = 0; b < 256; ++b)
         if (code_of[b] >= 0) byte_of[code_of[b]] = (uint8_t)b;
     // SA[0] == n (the sentinel); rows 1.. map to rotations

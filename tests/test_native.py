@@ -88,3 +88,19 @@ def test_native_tag_query_matches_model(ref_data):
         vals, nruns = tags.query(int(starts[i]), int(ends[i]))
         assert runs[i] == nruns
         np.testing.assert_array_equal(pos[i, : uniq[i]], vals)
+
+
+def test_sais_bwt_many_sequences():
+    # regression: the dense-code -> byte back-map must be sized by the
+    # alphabet (n_seq + #distinct bytes), not a fixed 512 - with many
+    # sequences the separator codes push character codes past any fixed bound
+    from pangenome_index_tpu.models.oracle import oracle_from_lines
+
+    rng = np.random.default_rng(11)
+    lines = [bytes(rng.choice(list(b"ACGT"), size=int(rng.integers(5, 40))))
+             for _ in range(600)]
+    o = oracle_from_lines(lines)
+    bwt, da, sp, sl = native.build_bwt_native(lines)
+    np.testing.assert_array_equal(bwt, o.bwt)
+    np.testing.assert_array_equal(da, o.da)
+    np.testing.assert_array_equal(sp, o.sa_pos)
