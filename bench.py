@@ -25,7 +25,7 @@ BASE_LEN = 500_000       # 4 Mbp total; auto-upgraded to 20 Mbp when cached
 BIG_BASE_LEN = 2_500_000
 BIG_SEED = 3
 N_HAPS = 8
-N_READS = 4096
+N_READS = 16384  # 4 work-sorted chunks of CHUNK lanes
 READ_LEN = 150
 MIN_LEN = 20
 MIN_OCC = 1
@@ -98,6 +98,18 @@ def main():
     print(f"[bench] mer table m={MER_M} built in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     mer_kw = dict(mer_table=mer_table, mer_keys=mer_keys, mer_valid=mer_valid, mer_m=MER_M)
 
+    # work-sorted chunking: order reads by the seed-table difficulty proxy so
+    # each lockstep chunk is work-homogeneous (results are inverse-permuted
+    # back, so output order is unchanged)
+    from pangenome_index_tpu.ops.mertable import seed_difficulty
+
+    proxy = np.asarray(seed_difficulty(mer_table, mer_keys, mer_valid, MIN_OCC))
+    order = np.argsort(proxy, kind="stable")
+    codes_d = jax.device_put(jnp.asarray(codes[order]), dev)
+    lens_d = jax.device_put(jnp.asarray(lens[order]), dev)
+    mer_kw["mer_keys"] = jax.device_put(jnp.asarray(mk[order]), dev)
+    mer_kw["mer_valid"] = jax.device_put(jnp.asarray(mv[order]), dev)
+
     # lanes per launch (measured optimum ~4096 on v5e with the gather-free
     # loop body; straggler waste is only ~1.2x at these sizes, see PERF.md)
     CHUNK = 4096
@@ -110,7 +122,9 @@ def main():
             res = find_mems_batch(t, codes_d[s : s + CHUNK], lens_d[s : s + CHUNK],
                                   MIN_LEN, MIN_OCC, capacity=32, **kw)
             counts.append(np.asarray(res.count))  # host fetch = real sync
-        return np.concatenate(counts)
+        out = np.empty(N_READS, np.int32)
+        out[order] = np.concatenate(counts)  # back to input read order
+        return out
 
     # warmup / compile. NOTE: jax.block_until_ready does not synchronize under
     # the axon remote backend - force a host fetch to time real execution.

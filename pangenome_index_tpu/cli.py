@@ -142,12 +142,25 @@ def cmd_find_mems(args) -> int:
         if args.mer_len and args.min_len > args.mer_len:
             from .ops.mertable import build_mer_table, read_mer_keys
 
-            mt = jnp.asarray(build_mer_table(idx, args.mer_len), t.run_start.dtype)
+            mt_np = build_mer_table(idx, args.mer_len)
+            mt = jnp.asarray(mt_np, t.run_start.dtype)
             mk, mv = read_mer_keys(codes, lens, args.mer_len)
             mer_kw = dict(mer_table=mt, mer_keys=jnp.asarray(mk),
                           mer_valid=jnp.asarray(mv), mer_m=args.mer_len)
         tm = time.perf_counter()
         B = args.batch_size
+        # work-sorted chunking: with multiple chunks, order reads by the
+        # seed-table difficulty proxy so each lockstep chunk is
+        # work-homogeneous; results are inverse-permuted back below
+        order = np.arange(len(reads))
+        if mer_kw and len(reads) > B:
+            from .ops.mertable import seed_difficulty
+
+            proxy = seed_difficulty(mt_np, mk, mv, args.min_occ)
+            order = np.argsort(proxy, kind="stable")
+            codes, lens = codes[order], lens[order]
+            mer_kw["mer_keys"] = jnp.asarray(mk[order])
+            mer_kw["mer_valid"] = jnp.asarray(mv[order])
         parts = []
         for s0 in range(0, len(reads), B):
             kw = {k: (v[s0 : s0 + B] if k in ("mer_keys", "mer_valid") else v)
@@ -158,6 +171,10 @@ def cmd_find_mems(args) -> int:
                                 capacity=args.mem_capacity, **kw)
             parts.append([np.array(a) for a in r])  # writable (overflow fix-ups)
         res = [np.concatenate([p[i] for p in parts]) for i in range(6)]
+        if not np.array_equal(order, np.arange(len(reads))):
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(reads))
+            res = [a[inv] for a in res]
         total_mem_time = time.perf_counter() - tm
         starts, ends, bwts, sizes, counts, overflow = res
         # reads whose MEM count exceeded the device buffer re-run on the host

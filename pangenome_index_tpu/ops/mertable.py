@@ -104,6 +104,21 @@ def build_mer_table_device(t, m: int) -> "jax.Array":
     return _build_mer_jit(t, m)
 
 
+def seed_difficulty(mer_table, keys, valid, min_occ):
+    """Per-read work proxy for work-sorted chunking: the number of read
+    windows whose precomputed m-mer interval fails min_occ (error sites and
+    rare regions force stepwise fallback and extra MEM restarts, which set
+    the lockstep loop's iteration count). Sorting a multi-chunk batch by this
+    proxy makes each lane chunk work-homogeneous, so the per-chunk max tracks
+    the chunk mean instead of the global max (+6% serving throughput at
+    4 Mbp / 1% read errors, see PERF.md). Accepts numpy or jax arrays of
+    matching kinds; returns [B] counts.
+    """
+    s = mer_table[keys.reshape(-1), 2].reshape(keys.shape)
+    bad = (s < max(int(min_occ), 1)) & valid
+    return (bad | ~valid).sum(axis=1)
+
+
 def read_mer_keys(codes: np.ndarray, lengths: np.ndarray, m: int):
     """Per-position rolling m-mer keys for a read batch.
 

@@ -79,6 +79,18 @@ def test_synthetic_graph_full_pipeline(tmp_path):
     out = run(["find-mems", "synth.ri", "synth_c.tags", "reads.txt", "10", "1",
                "--engine", "host"], tmp_path)
     assert b"MEM START: 0" in out.stdout
+    # device engine with multi-chunk work-sorted serving (batch-size < n_reads
+    # + seed table => reads are processed in difficulty order and results
+    # inverse-permuted): stdout must match the host engine exactly
+    reads4 = [lines[0][:30], lines[-1][5:35], lines[0][10:40], lines[-1][:30]]
+    (tmp_path / "reads4.txt").write_bytes(b"\n".join(reads4) + b"\n")
+    outs = {}
+    for eng, extra in (("host", []), ("device", ["--batch-size", "2", "--mer-len", "4"])):
+        o = run(["find-mems", "synth.ri", "synth_c.tags", "reads4.txt", "10", "1",
+                 "--engine", eng, *extra], tmp_path)
+        outs[eng] = b"\n".join(l for l in o.stdout.splitlines()
+                               if b"seconds" not in l)
+    assert outs["device"] == outs["host"]
 
 
 def test_facade_api(ref_data):
