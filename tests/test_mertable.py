@@ -69,3 +69,27 @@ def test_mer_table_device_equals_host(ref_data):
         host = build_mer_table(idx, m)
         dev = np.asarray(build_mer_table_device(t, m))
         np.testing.assert_array_equal(dev, host.astype(dev.dtype))
+
+
+def test_seed_difficulty_counts(ref_data):
+    # proxy = windows whose m-mer interval fails min_occ, plus invalid windows
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    m = 4
+    table = build_mer_table(idx, m)
+    from pangenome_index_tpu.ops.mertable import read_mer_keys, seed_difficulty
+
+    codes = np.array([[1, 2, 3, 5, 1, 2], [1, 1, 4, 1, 1, 1]], np.int32)  # ACGTAC, AANAAA
+    lens = np.array([6, 6], np.int32)
+    keys, valid = read_mer_keys(codes, lens, m)
+    prox = np.asarray(seed_difficulty(table, keys, valid, 1))
+    # brute force per window
+    for b in range(2):
+        exp = 0
+        for i in range(codes.shape[1] + 1):
+            if not valid[b, i]:
+                exp += 1
+            elif table[keys[b, i], 2] < 1:
+                exp += 1
+        assert prox[b] == exp
+    # the N-containing read has strictly more invalid windows
+    assert prox[1] > prox[0]
