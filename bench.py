@@ -79,8 +79,6 @@ def main():
     print(f"[bench] device: {dev}", file=sys.stderr)
     # dense tables: O(1) rank with two gathers per position (see ops/tables.py)
     t = jax.device_put(rindex_to_device(idx, dense=True), dev)
-    codes_d = jax.device_put(jnp.asarray(codes), dev)
-    lens_d = jax.device_put(jnp.asarray(lens), dev)
 
     # m-mer seed table (skips the first m extensions of MEM steps 1 and 3),
     # built on device: the expansion is itself batched extension, and at m=12
@@ -96,19 +94,23 @@ def main():
     mer_keys = jax.device_put(jnp.asarray(mk), dev)
     mer_valid = jax.device_put(jnp.asarray(mv), dev)
     print(f"[bench] mer table m={MER_M} built in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    mer_kw = dict(mer_table=mer_table, mer_keys=mer_keys, mer_valid=mer_valid, mer_m=MER_M)
 
     # work-sorted chunking: order reads by the seed-table difficulty proxy so
     # each lockstep chunk is work-homogeneous (results are inverse-permuted
-    # back, so output order is unchanged)
+    # back, so output order is unchanged). The proxy runs on device against
+    # the device-resident table; the permutation of the already-uploaded
+    # mer arrays is a device-side take, so every array crosses the
+    # (latency-exposed) tunnel exactly once.
     from pangenome_index_tpu.ops.mertable import seed_difficulty
 
-    proxy = np.asarray(seed_difficulty(mer_table, mer_keys, mer_valid, MIN_OCC))
+    proxy = np.asarray(seed_difficulty(mer_table, mer_keys, mer_valid, MIN_OCC,
+                                       lengths=jnp.asarray(lens), m=MER_M))
     order = np.argsort(proxy, kind="stable")
+    order_d = jax.device_put(jnp.asarray(order), dev)
     codes_d = jax.device_put(jnp.asarray(codes[order]), dev)
     lens_d = jax.device_put(jnp.asarray(lens[order]), dev)
-    mer_kw["mer_keys"] = jax.device_put(jnp.asarray(mk[order]), dev)
-    mer_kw["mer_valid"] = jax.device_put(jnp.asarray(mv[order]), dev)
+    mer_kw = dict(mer_table=mer_table, mer_keys=mer_keys[order_d],
+                  mer_valid=mer_valid[order_d], mer_m=MER_M)
 
     # lanes per launch (measured optimum ~4096 on v5e with the gather-free
     # loop body; straggler waste is only ~1.2x at these sizes, see PERF.md)

@@ -156,7 +156,8 @@ def cmd_find_mems(args) -> int:
         if mer_kw and len(reads) > B:
             from .ops.mertable import seed_difficulty
 
-            proxy = seed_difficulty(mt_np, mk, mv, args.min_occ)
+            proxy = seed_difficulty(mt_np, mk, mv, args.min_occ,
+                                    lengths=lens, m=args.mer_len)
             order = np.argsort(proxy, kind="stable")
             codes, lens = codes[order], lens[order]
             mer_kw["mer_keys"] = jnp.asarray(mk[order])

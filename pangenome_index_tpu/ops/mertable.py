@@ -104,8 +104,8 @@ def build_mer_table_device(t, m: int) -> "jax.Array":
     return _build_mer_jit(t, m)
 
 
-def seed_difficulty(mer_table, keys, valid, min_occ):
-    """Per-read work proxy for work-sorted chunking: the number of read
+def seed_difficulty(mer_table, keys, valid, min_occ, lengths=None, m=None):
+    """Per-read work proxy for work-sorted chunking: the number of *in-read*
     windows whose precomputed m-mer interval fails min_occ (error sites and
     rare regions force stepwise fallback and extra MEM restarts, which set
     the lockstep loop's iteration count). Sorting a multi-chunk batch by this
@@ -113,10 +113,19 @@ def seed_difficulty(mer_table, keys, valid, min_occ):
     the chunk mean instead of the global max (+6% serving throughput at
     4 Mbp / 1% read errors, see PERF.md). Accepts numpy or jax arrays of
     matching kinds; returns [B] counts.
+
+    With lengths/m given, only windows inside each read count: padding
+    windows past a short read's end need zero loop iterations, so counting
+    them (as ~valid alone would) would rank short reads hardest and weaken
+    chunk work-homogeneity for variable-length batches.
     """
     s = mer_table[keys.reshape(-1), 2].reshape(keys.shape)
-    bad = (s < max(int(min_occ), 1)) & valid
-    return (bad | ~valid).sum(axis=1)
+    bad = ((s < max(int(min_occ), 1)) & valid).sum(axis=1)
+    if lengths is None:
+        return bad + (~valid).sum(axis=1)
+    # invalid-but-inside windows = in-read window count minus valid count
+    in_read = (lengths - (m - 1)).clip(0)
+    return bad + in_read - valid.sum(axis=1)
 
 
 def read_mer_keys(codes: np.ndarray, lengths: np.ndarray, m: int):

@@ -93,3 +93,26 @@ def test_seed_difficulty_counts(ref_data):
         assert prox[b] == exp
     # the N-containing read has strictly more invalid windows
     assert prox[1] > prox[0]
+
+
+def test_seed_difficulty_ignores_padding_windows(ref_data):
+    # with lengths/m given, windows past a short read's end do not count:
+    # a short clean read must rank easier than an equal-length-prefix read,
+    # not harder (the padding windows need zero loop iterations)
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    m = 4
+    table = build_mer_table(idx, m)
+    from pangenome_index_tpu.ops.mertable import read_mer_keys, seed_difficulty
+
+    codes = np.array([[1, 2, 3, 5, 1, 2, 3, 5], [1, 2, 3, 5, 0, 0, 0, 0]], np.int32)
+    lens = np.array([8, 4], np.int32)
+    keys, valid = read_mer_keys(codes, lens, m)
+    prox = np.asarray(seed_difficulty(table, keys, valid, 1, lengths=lens, m=m))
+    # brute force: only windows ending inside the read count
+    for b in range(2):
+        exp = 0
+        for i in range(m - 1, int(lens[b])):
+            if not valid[b, i] or table[keys[b, i], 2] < 1:
+                exp += 1
+        assert prox[b] == exp
+    assert prox[1] <= prox[0]
