@@ -201,16 +201,21 @@ def load(data: bytes) -> RIndex:
         stream_size = sdsl.read_u64(buf)
         stream = buf.read(stream_size)
         n_blocks = len(start_bits)
+        # block accounting (not inferred from decode state): block b holds
+        # runs [b*block_size, min((b+1)*block_size, r)); one trailing EMPTY
+        # block exists iff r % block_size == 0, and its cum vector is the
+        # default 8-entry zero vector (Run_blocks() ctor, r-index.hpp:144)
+        # instead of a len(C_present)-entry one.
+        r_total = len(samples)
         for b in range(n_blocks):
             loc = int(start_bits[b])
             end = int(start_bits[b + 1]) if b + 1 < n_blocks else stream_size
-            if loc >= stream_size:
-                break
-            # skip the cum-rank varints
-            ncum = len(C_present) if len(run_sym) < len(samples) else 8
-            for _ in range(ncum):
+            lo = b * enc_block_size
+            if lo >= r_total:
+                break  # trailing empty block: 8 zero varints, no runs
+            for _ in range(len(C_present)):
                 _, loc = bytecode.read_value(stream, loc)
-            while loc < end:
+            for _ in range(min(lo + enc_block_size, r_total) - lo):
                 header = stream[loc]
                 loc += 1
                 code = (header >> 5) & 0x7
@@ -222,6 +227,8 @@ def load(data: bytes) -> RIndex:
                     length = 32 + extra
                 run_sym.append(code)
                 run_len.append(length)
+            if loc > end:
+                raise ValueError(f".ri encoded block {b} overruns its extent")
     else:
         n_blocks = sdsl.read_u64(buf)
         for b in range(n_blocks):
