@@ -121,46 +121,47 @@ def extend_runs(gbz: GBZ, idx: RIndex, run_start, run_len, pos_enc,
     rounds = 0
     while len(cur_start) and rounds < max_rounds:
         rounds += 1
-        nxt_start, nxt_len, nxt_pos = [], [], []
-        # compute predecessor base + position per run (host side), then batch LF
-        bases = np.zeros(len(cur_start), dtype=np.int64)
-        npos = np.zeros(len(cur_start), dtype=np.int64)
-        ok = np.zeros(len(cur_start), dtype=bool)
+        # candidate extensions: within a node there is one; at a node start
+        # the run FANS OUT to one candidate per base carried by exactly one
+        # predecessor node (the reference's per-base loop over base_to_nodes,
+        # algorithm.hpp:324-355 - several bases can each be deterministic)
+        src = []    # index into cur_* arrays
+        bases = []  # predecessor base byte
+        npos = []   # predecessor packed graph position
         for i, p in enumerate(cur_pos.tolist()):
             nid, rev, off = p >> 11, (p >> 10) & 1, p & 0x3FF
             if off > 0:
                 seq = node_seq(gbz, nid, bool(rev))
-                bases[i] = seq[off - 1]
-                npos[i] = (nid << 11) | (rev << 10) | (off - 1)
-                ok[i] = True
+                src.append(i)
+                bases.append(seq[off - 1])
+                npos.append((nid << 11) | (rev << 10) | (off - 1))
             else:
                 node = 2 * nid + rev
-                plist = preds.get(node, [])
                 by_base: dict[int, list[int]] = {}
-                for pn, pb in plist:
+                for pn, pb in preds.get(node, []):
                     by_base.setdefault(pb, []).append(pn)
-                # deterministic only when exactly one node carries the base
-                # (algorithm.hpp:324-355); with several bases only one run
-                # can be followed per (run, base) - the reference follows
-                # each unique base; we follow the first unique one per round
-                uniq = [(b, nodes[0]) for b, nodes in sorted(by_base.items()) if len(nodes) == 1]
-                if len(uniq) == 1:
-                    b, pn = uniq[0]
-                    pnid, prev_ = pn >> 1, pn & 1
-                    plen = len(seqs[pnid])
-                    bases[i] = b
-                    npos[i] = (pnid << 11) | (prev_ << 10) | (plen - 1)
-                    ok[i] = True
-        codes = BYTE_TO_CODE[bases].astype(np.int64)
-        nlo = np.zeros(len(cur_start), dtype=np.int64)
-        nhi = np.zeros(len(cur_start), dtype=np.int64)
-        good = np.zeros(len(cur_start), dtype=bool)
-        for c in np.unique(codes[ok]):
-            m = ok & (codes == c)
-            lo2, hi2, nz = _lf_batch(idx, cur_start[m], cur_start[m] + cur_len[m] - 1, int(c))
+                for b, nodes in sorted(by_base.items()):
+                    if len(nodes) == 1:  # deterministic base
+                        pn = nodes[0]
+                        pnid, prev_ = pn >> 1, pn & 1
+                        plen = len(seqs[pnid])
+                        src.append(i)
+                        bases.append(b)
+                        npos.append((pnid << 11) | (prev_ << 10) | (plen - 1))
+        src = np.array(src, dtype=np.int64)
+        npos = np.array(npos, dtype=np.int64)
+        codes = BYTE_TO_CODE[np.array(bases, dtype=np.int64)].astype(np.int64)
+        nlo = np.zeros(len(src), dtype=np.int64)
+        nhi = np.zeros(len(src), dtype=np.int64)
+        good = np.zeros(len(src), dtype=bool)
+        for c in np.unique(codes):
+            m = codes == c
+            s_m = cur_start[src[m]]
+            lo2, hi2, nz = _lf_batch(idx, s_m, s_m + cur_len[src[m]] - 1, int(c))
             nlo[m], nhi[m] = lo2, hi2
             good[m] = nz
-        # accept runs whose target range is fully uncovered
+        # accept candidates whose target range is fully uncovered (the
+        # B+-tree's insert_success overlap rejection)
         acc_s, acc_l, acc_p = [], [], []
         for i in np.flatnonzero(good):
             s, e = int(nlo[i]), int(nhi[i])
