@@ -265,28 +265,56 @@ def cmd_query_tags(args) -> int:
 
 
 def cmd_print_stats(args) -> int:
-    """Per-substructure sizes and bits/run (mirrors print_stats.cpp:100-115)."""
+    """Per-ON-DISK-substructure sizes and bits/run, in the reference's
+    categories and print format (print_stats.cpp:100-117, 175-184; its
+    sdsl::size_in_bytes equals the serialized length, so numbers are
+    directly comparable). --runtime adds the device flat-table sizes."""
     from .formats import ri, tags as tagfmt
 
-    idx = ri.load_file(args.ri)
+    def human(name, nbytes, runs):
+        mb = nbytes / (1024.0 * 1024.0)
+        line = f"{name}: {nbytes} bytes ({mb:g} MB)"
+        if runs:
+            line += f", {nbytes * 8.0 / runs:g} bits/run"
+        print(line)
+
+    with open(args.ri, "rb") as fh:
+        ri_data = fh.read()
+    idx = ri.load(ri_data)
     r = idx.n_runs
-    print(f"R-index: {r} runs over BWT of size {idx.n}")
-    print(f"  sequences: {idx.n_seq}, max sequence length: {idx.max_len}")
-    subs = [
-        ("run symbols", idx.run_sym.nbytes), ("run starts", idx.run_start.nbytes),
-        ("cumulative counts", idx.cum.nbytes), ("SA samples", idx.samples.nbytes),
-        ("last (run tails)", idx.last_sorted.nbytes), ("last_to_run", idx.last_to_run.nbytes),
-    ]
-    for name, nbytes in subs:
-        print(f"  {name:<20} {nbytes:>12} bytes  {nbytes * 8 / r:8.2f} bits/run")
-    total = sum(b for _, b in subs)
-    print(f"  {'total':<20} {total:>12} bytes  {total * 8 / r:8.2f} bits/run")
+    print("=== High-level ===")
+    print(f"Total sequence length (BWT size): {idx.n}")
+    print(f"BWT runs (r-index): {r}")
+    tags = None
     if args.tags:
-        tags = tagfmt.load_tags_file(args.tags)
-        tr = max(tags.n_runs, 1)
-        print(f"Tag array: {tags.n_runs} runs covering {tags.total} BWT positions")
-        for name, nbytes in [("positions", tags.pos_enc.nbytes), ("bwt starts", tags.bwt_start.nbytes)]:
-            print(f"  {name:<20} {nbytes:>12} bytes  {nbytes * 8 / tr:8.2f} bits/run")
+        with open(args.tags, "rb") as fh:
+            tags_data = fh.read()
+        tags = tagfmt.load_tags(tags_data)
+        print(f"Tag array runs: {tags.n_runs}")
+    print()
+    print("=== R-index components ===")
+    sections = ri.file_sections(ri_data)
+    for name, nbytes in sections:
+        human(name, nbytes, r)
+    human("TOTAL r-index (on disk)", sum(b for _, b in sections), r)
+    print()
+    if tags is not None:
+        print("=== Tag arrays (compressed) components ===")
+        tsections = tagfmt.file_sections(tags_data)
+        for name, nbytes in tsections:
+            human(name, nbytes, tags.n_runs)
+        human("TOTAL tag arrays (compressed)", sum(b for _, b in tsections), tags.n_runs)
+    if args.runtime:
+        print()
+        print("=== Runtime flat tables (device layout) ===")
+        subs = [
+            ("run symbols", idx.run_sym.nbytes), ("run starts", idx.run_start.nbytes),
+            ("cumulative counts", idx.cum.nbytes), ("SA samples", idx.samples.nbytes),
+            ("last (run tails)", idx.last_sorted.nbytes), ("last_to_run", idx.last_to_run.nbytes),
+        ]
+        for name, nbytes in subs:
+            human(name, nbytes, r)
+        human("TOTAL runtime", sum(b for _, b in subs), r)
     return 0
 
 
@@ -439,6 +467,8 @@ def main(argv=None) -> int:
     s = sub.add_parser("print-stats")
     s.add_argument("ri")
     s.add_argument("tags", nargs="?")
+    s.add_argument("--runtime", action="store_true",
+                   help="also report the device flat-table sizes")
     s.set_defaults(fn=cmd_print_stats)
 
     c = sub.add_parser("convert-tags")

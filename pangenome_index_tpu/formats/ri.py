@@ -251,6 +251,61 @@ def load(data: bytes) -> RIndex:
     return idx
 
 
+def file_sections(data: bytes) -> list[tuple[str, int]]:
+    """On-disk byte size of every substructure of a `.ri` file, in file
+    order - the categories print_stats reports (print_stats.cpp:100-117;
+    sdsl::size_in_bytes of a structure equals its serialized length, so
+    these numbers are directly comparable with the reference's)."""
+    buf = io.BytesIO(data)
+    sections: list[tuple[str, int]] = []
+
+    def mark(name, fn):
+        at = buf.tell()
+        out = fn()
+        sections.append((name, buf.tell() - at))
+        return out
+
+    tag = int.from_bytes(buf.read(4), "little")
+    if tag != TAG:
+        raise ValueError(f"invalid .ri tag {tag:#x}")
+    buf.read(4 + 8)
+    flags = int.from_bytes(buf.read(8), "little")
+    sections.append(("header", 24))
+    mark("samples", lambda: sdsl.read_int_vector(buf))
+    mark("last (sd_vector)", lambda: sdsl.read_sd_vector(buf))
+    mark("last_to_run", lambda: sdsl.read_int_vector(buf))
+    mark("sym_map", lambda: sdsl.read_int_vector(buf, fixed_width=8))
+    mark("C", lambda: sdsl.read_int_vector(buf, fixed_width=64))
+    mark("blocks_start_pos (sd_vector)", lambda: sdsl.read_sd_vector(buf))
+    misc = 8  # sequence_size
+    buf.read(8)
+    if flags & FLAG_ENCODED:
+        buf.read(8 + 1)  # encoded_block_size, has_N
+        misc += 9
+        mark("blocks.encoded_start_bits (int_vector<0>)",
+             lambda: sdsl.read_int_vector(buf))
+        stream_size = sdsl.read_u64(buf)
+        buf.read(stream_size)
+        misc += 8
+        sections.append(("blocks.encoded_stream (bytes)", stream_size))
+    else:
+        n_blocks = sdsl.read_u64(buf)
+        misc += 8
+        cum_bytes = runs_bytes = 0
+        for _ in range(n_blocks):
+            at = buf.tell()
+            sdsl.read_int_vector(buf, fixed_width=64)
+            cum_bytes += buf.tell() - at
+            n_runs = sdsl.read_u64(buf)
+            misc += 8
+            buf.read(16 * n_runs)
+            runs_bytes += 16 * n_runs
+        sections.append(("blocks.character_cum_ranks", cum_bytes))
+        sections.append(("blocks.runs (pairs)", runs_bytes))
+    sections.append(("misc (sequence_size, block sizes)", misc))
+    return sections
+
+
 def load_file(path, use_mmap: bool = False) -> RIndex:
     """use_mmap avoids copying the file into anonymous memory before parsing
     (the role of the reference's MemoryMappedIndexManager,

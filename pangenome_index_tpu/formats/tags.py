@@ -181,26 +181,63 @@ def read_compressed_bytecode(data: bytes) -> TagArray:
     return _finish(values, intervals)
 
 
-def load_tags(data: bytes) -> TagArray:
-    """Auto-detect the format (algorithm container, compressed 2 or 3)."""
+def file_sections(data: bytes) -> list[tuple[str, int]]:
+    """On-disk byte size per substructure of a `.tags` file (the categories
+    print_stats reports for the compressed formats, print_stats.cpp:175-184).
+    Algorithm-format files are one section."""
+    buf = io.BytesIO(data)
+    sections: list[tuple[str, int]] = []
+    kind = _sniff(data)
+    if kind == "algorithm":
+        return [("encoded_runs (raw ByteCode stream)", len(data))]
+    at = buf.tell()
+    if kind == "sdsl":
+        sdsl.read_int_vector(buf)
+        sections.append(("encoded_runs (int_vector)", buf.tell() - at))
+    else:
+        nbytes = sdsl.read_u64(buf)
+        buf.read(nbytes)
+        sections.append(("encoded_runs (ByteCode)", buf.tell() - at))
+    at = buf.tell()
+    sdsl.read_sd_vector(buf)
+    sections.append(("encoded_runs_starts (sd_vector)", buf.tell() - at))
+    at = buf.tell()
+    sdsl.read_sd_vector(buf)
+    sections.append(("bwt_intervals (sd_vector)", buf.tell() - at))
+    return sections
+
+
+def _sniff(data: bytes) -> str:
+    """Classify a .tags payload: 'algorithm', 'sdsl' (int_vector<0> of compact
+    runs) or 'bytecode' (varint stream), by container arithmetic."""
     if len(data) >= 8:
-        # algorithm format: [u64 bit_count][payload padded to words], nothing
-        # after - the compressed formats carry trailing sd_vectors
         nbits = int.from_bytes(data[:8], "little")
         if nbits % 8 == 0 and 8 + ((nbits // 8 + 7) // 8) * 8 == len(data):
-            try:
-                return read_algorithm(data)
-            except Exception:
-                pass
+            return "algorithm"
     if len(data) >= 9:
         nbits = int.from_bytes(data[:8], "little")
         width = data[8]
         nwords = (nbits + 63) // 64
         if width and nbits % width == 0 and 9 + nwords * 8 < len(data):
-            try:
-                return read_compressed_sdsl(data)
-            except Exception:
-                pass
+            return "sdsl"
+    return "bytecode"
+
+
+def load_tags(data: bytes) -> TagArray:
+    """Auto-detect the format (algorithm container, compressed 2 or 3)."""
+    kind = _sniff(data)
+    if kind == "algorithm":
+        # [u64 bit_count][payload padded to words], nothing after - the
+        # compressed formats carry trailing sd_vectors
+        try:
+            return read_algorithm(data)
+        except Exception:
+            pass
+    if kind == "sdsl":
+        try:
+            return read_compressed_sdsl(data)
+        except Exception:
+            pass
     return read_compressed_bytecode(data)
 
 

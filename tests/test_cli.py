@@ -45,6 +45,35 @@ def test_full_pipeline_byte_equality(ref_data, tmp_path):
     assert "Seq: 1" in text and "MEM START: 0, MEM END: 3 BWT START: 989 SIZE: 136" in text
 
 
+def test_print_stats_substructure_parity(ref_data, tmp_path):
+    """print-stats reports per-ON-DISK-substructure bytes + bits/run in the
+    reference's categories (print_stats.cpp:100-117, 175-184), and the
+    section sizes must add up to the exact file sizes."""
+    import re
+
+    ref = ref_data / "bidirectional_test"
+    out = run(["print-stats", str(ref / "xy.ri"),
+               str(ref / "xy_bidirectional_compressed.tags")], tmp_path)
+    text = out.stdout.decode()
+    for cat in ["header:", "samples:", "last (sd_vector):", "last_to_run:",
+                "sym_map:", "C:", "blocks_start_pos (sd_vector):",
+                "blocks.character_cum_ranks:", "blocks.runs (pairs):",
+                "encoded_runs (ByteCode):", "encoded_runs_starts (sd_vector):",
+                "bwt_intervals (sd_vector):", "bits/run"]:
+        assert cat in text, f"missing category {cat!r}"
+    ri_total = int(re.search(r"TOTAL r-index \(on disk\): (\d+) bytes", text).group(1))
+    assert ri_total == (ref / "xy.ri").stat().st_size
+    tag_total = int(re.search(r"TOTAL tag arrays \(compressed\): (\d+) bytes", text).group(1))
+    assert tag_total == (ref / "xy_bidirectional_compressed.tags").stat().st_size
+    # encoded-format .ri reports the encoded-block categories
+    run(["build-rindex", str(ref / "contigs_xy.rl_bwt"), "-o", "xy_enc.ri"], tmp_path)
+    out2 = run(["print-stats", "xy_enc.ri"], tmp_path).stdout.decode()
+    assert "blocks.encoded_start_bits (int_vector<0>):" in out2
+    assert "blocks.encoded_stream (bytes):" in out2
+    ri2 = int(re.search(r"TOTAL r-index \(on disk\): (\d+) bytes", out2).group(1))
+    assert ri2 == (tmp_path / "xy_enc.ri").stat().st_size
+
+
 def test_cli_error_paths(ref_data, tmp_path):
     r = run(["build-rindex", "missing.rl_bwt"], tmp_path, check=False)
     assert r.returncode == 1 and b"panidx:" in r.stderr
