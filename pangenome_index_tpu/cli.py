@@ -140,9 +140,14 @@ def cmd_find_mems(args) -> int:
         codes, lens = _pack_reads(reads)
         mer_kw = {}
         if args.mer_len and args.min_len > args.mer_len:
-            from .ops.mertable import build_mer_table, read_mer_keys
+            from .ops.mertable import cached_mer_table, read_mer_keys
 
-            mt_np = build_mer_table(idx, args.mer_len)
+            # the table is a pure function of (index, m): persist it next to
+            # the index so serving pays the expansion once per index, not
+            # once per process (VERDICT r1: cold start)
+            cache_path = (None if args.no_mer_cache
+                          else f"{args.ri}.mer{args.mer_len}.npz")
+            mt_np = cached_mer_table(idx, args.mer_len, path=cache_path)
             mt = jnp.asarray(mt_np, t.run_start.dtype)
             mk, mv = read_mer_keys(codes, lens, args.mer_len)
             mer_kw = dict(mer_table=mt, mer_keys=jnp.asarray(mk),
@@ -456,6 +461,8 @@ def main(argv=None) -> int:
             q.add_argument("--tag-capacity", type=int, default=256)
             q.add_argument("--mer-len", type=int, default=8,
                            help="m-mer seed table size (0 disables)")
+            q.add_argument("--no-mer-cache", action="store_true",
+                           help="do not persist the seed table next to the index")
             q.add_argument("--batch-size", type=int, default=2048,
                            help="device lanes per launch (straggler optimum)")
             q.add_argument("--dense", action="store_true", default=True,

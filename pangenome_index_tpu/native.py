@@ -115,10 +115,14 @@ def query_tags_native(tags, starts: np.ndarray, ends: np.ndarray,
     return out_pos, out_unique, out_runs
 
 
-def build_bwt_native(lines: list[bytes]):
+def build_bwt_native(lines: list[bytes], force64: bool = False):
     """Multi-string BWT via SA-IS (linear time) - the production-scale native
     replacement for the rotation-sort oracle. Returns (bwt bytes array, da,
-    sa_pos, seq_lengths) with the oracle's exact contract."""
+    sa_pos, seq_lengths) with the oracle's exact contract.
+
+    The index width is chosen by input size (int32 below 2^31 characters,
+    int64 above - no per-shard capacity cliff); force64 pins the int64
+    instantiation for tests."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native engine unavailable")
@@ -129,7 +133,8 @@ def build_bwt_native(lines: list[bytes]):
     bwt = np.zeros(n, np.uint8)
     da = np.zeros(n, np.int64)
     sa_pos = np.zeros(n, np.int64)
-    lib.panindex_build_bwt(
+    fn = lib.panindex_build_bwt_force64 if force64 else lib.panindex_build_bwt
+    fn(
         _ptr(np.ascontiguousarray(text), ctypes.c_uint8), ctypes.c_int64(text.size),
         _ptr(np.ascontiguousarray(seq_ends), ctypes.c_int64), ctypes.c_int64(len(lines)),
         _ptr(bwt, ctypes.c_uint8), _ptr(da, ctypes.c_int64), _ptr(sa_pos, ctypes.c_int64),

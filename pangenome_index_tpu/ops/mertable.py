@@ -66,13 +66,17 @@ _build_mer_jit = None
 
 
 def build_mer_table_device(t, m: int) -> "jax.Array":
-    """Device-side table build: level-synchronous batched extension with the
-    device rank tables (the same expansion as build_mer_table, on-device).
-    Useful when the index already lives in HBM and the host copy is cold.
+    """Device-side table build: batched extension over the FULL 4^m key
+    space with a fori_loop over the m levels (fixed [4^m] shapes).
 
-    All m levels are traced inside ONE jit (static, growing shapes), so the
-    whole expansion is a single compile + a single dispatch: at m=12 that is
-    ~2s of device time for the 22M extensions, instead of m round-trips.
+    Every key carries its own interval state; after level v, state[key] is
+    the bi-interval of key's length-v suffix (keys sharing low bits
+    duplicate work - an m/2x redundancy factor). The win is compile time:
+    one extend + one fori_loop compiles in seconds, where the
+    growing-shape expansion (4^1..4^m traced as 4m separate extends) took
+    minutes of XLA time per process and made serving cold-start ~190s
+    (PERF.md round 1). Device work at m=12 is a few seconds.
+
     The jitted builder is module-level, so repeat calls with the same
     tables/m hit the jit cache instead of re-tracing."""
     global _build_mer_jit
@@ -87,21 +91,68 @@ def build_mer_table_device(t, m: int) -> "jax.Array":
         @functools.partial(jax.jit, static_argnames="m")
         def _build(t, m):
             pd = t.pos_dtype
-            k = jnp.zeros(1, pd)
-            kp = jnp.zeros(1, pd)
-            s = jnp.full(1, t.n, pd)
-            for _ in range(m):
-                outs = []
-                for code in BASE_CODES.tolist():
-                    c = jnp.full(k.shape, code, jnp.int32)
-                    outs.append(extend(t, k, kp, s, c))
-                k = jnp.concatenate([o[0] for o in outs])
-                kp = jnp.concatenate([o[1] for o in outs])
-                s = jnp.concatenate([o[2] for o in outs])
+            size = 4**m
+            keys = jnp.arange(size, dtype=jnp.int32)
+            k = jnp.zeros(size, pd)
+            kp = jnp.zeros(size, pd)
+            s = jnp.full(size, t.n, pd)
+
+            def body(v, st):
+                k, kp, s = st
+                # prepend the char left of the length-v suffix: 2-bit base at
+                # bit 2v; codes are 1,2,3,5 for bases 0,1,2,3 (= b+1+[b==3])
+                b = (keys >> (2 * v)) & 3
+                c = b + 1 + (b == 3)
+                return extend(t, k, kp, s, c)
+
+            k, kp, s = jax.lax.fori_loop(0, m, body, (k, kp, s))
             return jnp.stack((k, kp, s), axis=1)
 
         _build_mer_jit = _build
     return _build_mer_jit(t, m)
+
+
+def mer_table_key(idx: RIndex, m: int) -> str:
+    """Content key of the (index, m) pair the table is a pure function of."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.int64([m, idx.n, idx.n_runs]).tobytes())
+    h.update(np.ascontiguousarray(idx.run_sym).tobytes())
+    h.update(np.ascontiguousarray(idx.run_len).tobytes())
+    return h.hexdigest()[:16]
+
+
+def cached_mer_table(idx: RIndex, m: int, path=None) -> np.ndarray:
+    """Load the seed table from `path` when its content key matches the
+    index, else build and persist it there. Kills the serving cold-start:
+    the table is a pure function of (index, m), so a production engine
+    should pay the expansion once per index, not once per process."""
+    import sys
+
+    key = mer_table_key(idx, m)
+    if path is not None:
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                if str(z["key"]) == key:
+                    return z["table"]
+                print(f"mer cache {path}: stale key, rebuilding", file=sys.stderr)
+        except FileNotFoundError:
+            pass
+        except Exception as exc:
+            print(f"mer cache {path}: unreadable ({exc}), rebuilding", file=sys.stderr)
+    table = build_mer_table(idx, m)
+    if path is not None:
+        import os
+
+        try:
+            tmp = f"{path}.tmp{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                np.savez(fh, table=table, key=key)
+            os.replace(tmp, path)
+        except Exception as exc:
+            print(f"mer cache {path}: not saved ({exc})", file=sys.stderr)
+    return table
 
 
 def seed_difficulty(mer_table, keys, valid, min_occ, lengths=None, m=None):

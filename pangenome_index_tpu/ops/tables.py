@@ -56,6 +56,12 @@ class RIndexTables(NamedTuple):
     # ([n+2, 8]: cols 0..5 = occ counts before the position, 6..7 padding so
     # rows are 32-byte aligned - unaligned 24B rows measured ~2x slower)
     rank_table: jax.Array | None = None
+    # checkpoint mode: ONE gather per rank6 query at 1 byte/position total.
+    # [n//64+2, 16] int32 rows (64B-aligned): cols 0..5 = occ counts before
+    # the bucket's first position, cols 6..13 = the bucket's 64 BWT codes as
+    # 4-bit nibbles (LSB-first, 8 per int32; 0xF pads past n), cols 14..15
+    # padding. rank6 = gather row + SWAR nibble count on the VPU.
+    ckpt: jax.Array | None = None
 
     @property
     def pos_dtype(self):
@@ -63,7 +69,8 @@ class RIndexTables(NamedTuple):
 
 
 def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
-                     dense: bool = False, ultra: bool = False) -> RIndexTables:
+                     dense: bool = False, ultra: bool = False,
+                     checkpoint: bool = False) -> RIndexTables:
     """Memory/speed spectrum for the rank hot path (per-chip choice; sharding
     over the mesh divides n and r per shard):
 
@@ -73,6 +80,10 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
       per rank query. The decompressed-FM-index layout: on a v5e the XLA
       gather issue rate (~78M rows/s) is the bottleneck, so halving gathers
       halves the LF inner-loop time.
+    * checkpoint: + ~(n+128) bytes; ONE 64-byte gather per rank6 query
+      (per-bucket occ checkpoints + 64 packed 4-bit codes, counted with
+      SWAR nibble math on the VPU). Same gather count as ultra at 1/24th
+      the footprint - the serving default (see PERF.md round 2).
     """
     pd = dtype or _pick_dtype(idx.n, idx.n_seq * idx.max_len, idx.n_runs)
     samples_pad = np.concatenate((idx.samples, [0]))
@@ -80,6 +91,26 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
     pos_to_run = None
     rec = None
     rank_table = None
+    ckpt = None
+    if checkpoint:
+        if idx.n >= 2**31:
+            raise ValueError("checkpoint rank tables require n < 2^31 per shard")
+        n_buckets = (idx.n >> 6) + 2
+        bwt_codes = np.repeat(idx.run_sym.astype(np.int64), idx.run_len)
+        padded = np.full(n_buckets * 64, 15, dtype=np.int64)
+        padded[: idx.n] = bwt_codes
+        nib = padded.reshape(n_buckets, 8, 8)
+        shifts = (4 * np.arange(8, dtype=np.int64))[None, None, :]
+        payload = (nib << shifts).sum(axis=2).astype(np.uint32)
+        bucket_of = np.arange(idx.n, dtype=np.int64) >> 6
+        counts = np.bincount(bucket_of * 6 + bwt_codes,
+                             minlength=n_buckets * 6).reshape(n_buckets, 6)
+        cum_b = np.zeros((n_buckets, 6), dtype=np.int64)
+        np.cumsum(counts[:-1], axis=0, out=cum_b[1:])
+        row = np.zeros((n_buckets, 16), dtype=np.int64)
+        row[:, :6] = cum_b
+        row[:, 6:14] = payload.astype(np.int64)  # reinterpreted as int32 below
+        ckpt = jnp.asarray(row.astype(np.uint32).view(np.int32).reshape(n_buckets, 16))
     if ultra:
         contrib = np.zeros((idx.n + 2, 8), dtype=np.int64)
         bwt_codes = np.repeat(idx.run_sym.astype(np.int64), idx.run_len)
@@ -95,7 +126,7 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
         rec_np[:, 2:8] = idx.cum
         rec = jnp.asarray(rec_np, pd)
     cum_arr = idx.cum
-    if dense or ultra:
+    if dense or ultra or checkpoint:
         # the per-run cum table is only read by the fallback rank path; do
         # not ship the full copy to HBM when a fast-path table supersedes it
         cum_arr = idx.cum[:1]
@@ -110,6 +141,7 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
         pos_to_run=pos_to_run,
         rec=rec,
         rank_table=rank_table,
+        ckpt=ckpt,
         run_sym=jnp.asarray(idx.run_sym, jnp.int8),
         run_start=jnp.asarray(idx.run_start, pd),
         cum=jnp.asarray(cum_arr, pd),

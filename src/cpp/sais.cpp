@@ -17,23 +17,27 @@
 // alphabet is densified in panindex_build_bwt (n_seq + #distinct bytes + 1
 // codes), which keeps TS in uint8 for any realistic pangenome.
 //
+// Index width: int32 (halves the random-access working set) while
+// n + 1 < 2^31; larger shards dispatch to an int64 instantiation of the same
+// templates, removing the round-1 ~2.1 Gbp per-shard capacity cliff.
+//
 // Exposed via the same C ABI as panindex_native.cpp.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
 
 namespace {
 
-using idx_t = int32_t;  // n < 2^31; halves the random-access working set
+constexpr int64_t PF = 16;  // prefetch distance in the induce scans
 
-constexpr idx_t PF = 16;  // prefetch distance in the induce scans
-
+template <typename idx_t>
 void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K);
 
 // Core over the packed representation. TS[i] = (symbol << 1) | is_s.
 // TS[n-1] must be the unique smallest symbol (and is S-type by definition).
-template <typename TS_T>
+template <typename idx_t, typename TS_T>
 void sais_ts(const TS_T* TS, idx_t* SA, idx_t n, idx_t K) {
     if (n == 1) { SA[0] = 0; return; }
     auto sym = [&](idx_t i) -> idx_t { return (idx_t)(TS[i] >> 1); };
@@ -129,7 +133,7 @@ void sais_ts(const TS_T* TS, idx_t* SA, idx_t n, idx_t K) {
         lms_sorted.clear(); lms_sorted.shrink_to_fit();
         // pack the reduced problem (T1[last] = 0 is unique smallest: it names
         // the final LMS substring, the sentinel suffix)
-        sais_core(T1.data(), SA1.data(), (idx_t)T1.size(), n_names);
+        sais_core<idx_t>(T1.data(), SA1.data(), (idx_t)T1.size(), n_names);
         for (size_t q = 0; q < lms.size(); ++q) order[q] = lms[SA1[q]];
     } else {
         order.assign(lms_sorted.begin(), lms_sorted.end());
@@ -139,7 +143,8 @@ void sais_ts(const TS_T* TS, idx_t* SA, idx_t n, idx_t K) {
     induce(order);
 }
 
-// Entry: plain int32 text + alphabet size; packs and dispatches by K.
+// Entry: plain integer text + alphabet size; packs and dispatches by K.
+template <typename idx_t>
 void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
     if (n == 1) { SA[0] = 0; return; }
     auto build_and_run = [&](auto tag) {
@@ -150,34 +155,22 @@ void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
             bool s = (T[i] < T[i + 1]) || (T[i] == T[i + 1] && (TS[i + 1] & 1));
             TS[i] = (P)((T[i] << 1) | (s ? 1 : 0));
         }
-        sais_ts<P>(TS.data(), SA, n, K);
+        sais_ts<idx_t, P>(TS.data(), SA, n, K);
     };
     if (K <= 128) build_and_run((uint8_t)0);
     else if (K <= 32768) build_and_run((uint16_t)0);
-    else build_and_run((uint32_t)0);
+    else if (K <= (idx_t)0x40000000) build_and_run((uint32_t)0);
+    else build_and_run((uint64_t)0);  // reachable only on the int64 path
 }
 
-}  // namespace
-
-extern "C" {
-
-// Suffix array of T (values in [0, K), T[n-1] must be unique smallest).
-void panindex_sais(const int64_t* T, int64_t* SA, int64_t n, int64_t K) {
-    std::vector<idx_t> T32(n), SA32(n);
-    for (int64_t i = 0; i < n; ++i) T32[i] = (idx_t)T[i];
-    sais_core(T32.data(), SA32.data(), (idx_t)n, (idx_t)K);
-    for (int64_t i = 0; i < n; ++i) SA[i] = SA32[i];
-}
-
-// Multi-string BWT: text = concatenated sequences WITHOUT separators;
-// seq_ends[i] = exclusive end offset of sequence i in text (ascending).
-// Output arrays of length n = text_len + n_seq:
-//   bwt[j]   = byte of BWT row j ('\n' for separators)
-//   da[j]    = sequence id of row j's suffix
-//   sa_pos[j]= suffix offset within its sequence (separator at seq_len)
-void panindex_build_bwt(const uint8_t* text, int64_t text_len,
-                        const int64_t* seq_ends, int64_t n_seq,
-                        uint8_t* bwt, int64_t* da, int64_t* sa_pos) {
+// Multi-string BWT body (see the extern "C" wrapper for the contract).
+// Sequence id / in-sequence offset of a rotation are recovered from the
+// separator boundaries by binary search instead of 16 bytes/char of
+// side arrays - the build working set is T + SA + TS + outputs.
+template <typename idx_t>
+void build_bwt_impl(const uint8_t* text, int64_t text_len,
+                    const int64_t* seq_ends, int64_t n_seq,
+                    uint8_t* bwt, int64_t* da, int64_t* sa_pos) {
     idx_t n = (idx_t)(text_len + n_seq);
     // dense, order-preserving byte remap: separators take codes 1..n_seq,
     // present bytes take n_seq+1.. in byte order. Keeps the SA-IS alphabet
@@ -189,28 +182,24 @@ void panindex_build_bwt(const uint8_t* text, int64_t text_len,
         idx_t next = (idx_t)n_seq + 1;
         for (int b = 0; b < 256; ++b) code_of[b] = present[b] ? next++ : -1;
     }
+    // bnd[i] = exclusive end of sequence i in the separator-joined text
+    std::vector<idx_t> bnd(n_seq);
+    for (int64_t i = 0; i < n_seq; ++i) bnd[i] = (idx_t)(seq_ends[i] + i + 1);
     std::vector<idx_t> T(n + 1);
-    std::vector<idx_t> seq_of(n), pos_of(n);
-    idx_t w = 0, prev_end = 0;
-    for (idx_t i = 0; i < (idx_t)n_seq; ++i) {
-        idx_t end = (idx_t)seq_ends[i];
-        for (idx_t p = prev_end; p < end; ++p) {
-            T[w] = code_of[text[p]];
-            seq_of[w] = i;
-            pos_of[w] = p - prev_end;
-            ++w;
+    {
+        idx_t w = 0, prev_end = 0;
+        for (idx_t i = 0; i < (idx_t)n_seq; ++i) {
+            idx_t end = (idx_t)seq_ends[i];
+            for (idx_t p = prev_end; p < end; ++p) T[w++] = code_of[text[p]];
+            T[w++] = 1 + i;  // distinct separator, ordered by sequence index
+            prev_end = end;
         }
-        T[w] = 1 + i;  // distinct separator, ordered by sequence index
-        seq_of[w] = i;
-        pos_of[w] = end - prev_end;
-        ++w;
-        prev_end = end;
     }
     T[n] = 0;  // global sentinel for SA-IS
     idx_t K = 0;
     for (idx_t i = 0; i <= n; ++i) if (T[i] >= K) K = T[i] + 1;
     std::vector<idx_t> SA(n + 1);
-    sais_core(T.data(), SA.data(), n + 1, K);
+    sais_core<idx_t>(T.data(), SA.data(), n + 1, K);
     // dense code -> byte back-map for BWT output (codes go up to
     // n_seq + #distinct bytes, so this must be sized by K, not 256)
     std::vector<uint8_t> byte_of(K, 0);
@@ -223,9 +212,53 @@ void panindex_build_bwt(const uint8_t* text, int64_t text_len,
         idx_t prev = (p + n - 1) % n;
         idx_t tp = T[prev];
         bwt[j] = tp > (idx_t)n_seq ? byte_of[tp] : (uint8_t)'\n';
-        da[j] = seq_of[p];
-        sa_pos[j] = pos_of[p];
+        idx_t s = (idx_t)(std::upper_bound(bnd.begin(), bnd.end(), p) - bnd.begin());
+        da[j] = s;
+        sa_pos[j] = p - (s > 0 ? bnd[s - 1] : 0);
     }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Suffix array of T (values in [0, K), T[n-1] must be unique smallest).
+void panindex_sais(const int64_t* T, int64_t* SA, int64_t n, int64_t K) {
+    if (n < (int64_t)1 << 31) {
+        std::vector<int32_t> T32(n), SA32(n);
+        for (int64_t i = 0; i < n; ++i) T32[i] = (int32_t)T[i];
+        sais_core<int32_t>(T32.data(), SA32.data(), (int32_t)n, (int32_t)K);
+        for (int64_t i = 0; i < n; ++i) SA[i] = SA32[i];
+    } else {
+        sais_core<int64_t>(T, SA, n, K);
+    }
+}
+
+// Multi-string BWT: text = concatenated sequences WITHOUT separators;
+// seq_ends[i] = exclusive end offset of sequence i in text (ascending).
+// Output arrays of length n = text_len + n_seq:
+//   bwt[j]   = byte of BWT row j ('\n' for separators)
+//   da[j]    = sequence id of row j's suffix
+//   sa_pos[j]= suffix offset within its sequence (separator at seq_len)
+void panindex_build_bwt(const uint8_t* text, int64_t text_len,
+                        const int64_t* seq_ends, int64_t n_seq,
+                        uint8_t* bwt, int64_t* da, int64_t* sa_pos) {
+    if (text_len + n_seq + 1 < (int64_t)1 << 31)
+        build_bwt_impl<int32_t>(text, text_len, seq_ends, n_seq, bwt, da, sa_pos);
+    else
+        build_bwt_impl<int64_t>(text, text_len, seq_ends, n_seq, bwt, da, sa_pos);
+}
+
+// Test hooks: force the int64 instantiations on small inputs so the >2 Gbp
+// path is exercised without allocating 2^31 characters.
+void panindex_sais_force64(const int64_t* T, int64_t* SA, int64_t n, int64_t K) {
+    sais_core<int64_t>(T, SA, n, K);
+}
+
+void panindex_build_bwt_force64(const uint8_t* text, int64_t text_len,
+                                const int64_t* seq_ends, int64_t n_seq,
+                                uint8_t* bwt, int64_t* da, int64_t* sa_pos) {
+    build_bwt_impl<int64_t>(text, text_len, seq_ends, n_seq, bwt, da, sa_pos);
 }
 
 }  // extern "C"

@@ -27,7 +27,7 @@ def setup(ref_data):
 
 
 @pytest.mark.parametrize("mode", [{}, {"dense": True}, {"ultra": True},
-                                  {"bucketed": False}])
+                                  {"bucketed": False}, {"checkpoint": True}])
 def test_rank_matches_host(setup, mode):
     idx, _, _ = setup
     t = rindex_to_device(idx, **mode)
@@ -38,7 +38,8 @@ def test_rank_matches_host(setup, mode):
     np.testing.assert_array_equal(dev, host)
 
 
-@pytest.mark.parametrize("mode", [{"dense": True}, {"ultra": True}])
+@pytest.mark.parametrize("mode", [{"dense": True}, {"ultra": True},
+                                  {"checkpoint": True}])
 def test_mems_fast_modes_match(setup, mode):
     idx, t_ref, lines = setup
     t = rindex_to_device(idx, **mode)

@@ -90,6 +90,24 @@ def test_native_tag_query_matches_model(ref_data):
         np.testing.assert_array_equal(pos[i, : uniq[i]], vals)
 
 
+def test_sais_int64_path_matches_int32():
+    # the >2 Gbp per-shard fallback: the int64 instantiation (force64 test
+    # hook) must produce identical BWT/DA/SA on the same inputs
+    from pangenome_index_tpu.models.oracle import oracle_from_lines
+
+    rng = np.random.default_rng(21)
+    for _ in range(4):
+        lines = [bytes(rng.choice(list(b"ACGTN"), size=int(rng.integers(4, 200))))
+                 for _ in range(int(rng.integers(1, 30)))]
+        o = oracle_from_lines(lines)
+        b32, d32, p32, _ = native.build_bwt_native(lines)
+        b64, d64, p64, _ = native.build_bwt_native(lines, force64=True)
+        np.testing.assert_array_equal(b32, b64)
+        np.testing.assert_array_equal(d32, d64)
+        np.testing.assert_array_equal(p32, p64)
+        np.testing.assert_array_equal(b64, o.bwt)
+
+
 def test_sais_bwt_many_sequences():
     # regression: the dense-code -> byte back-map must be sized by the
     # alphabet (n_seq + #distinct bytes), not a fixed 512 - with many
