@@ -77,8 +77,9 @@ def main():
 
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
-    # dense tables: O(1) rank with two gathers per position (see ops/tables.py)
-    t = jax.device_put(rindex_to_device(idx, dense=True), dev)
+    # checkpoint tables: ONE 64B gather per rank6 query (see ops/tables.py);
+    # measured 6.3x the dense mode's extension rate on v5e (PERF.md round 2)
+    t = jax.device_put(rindex_to_device(idx, checkpoint=True), dev)
 
     # m-mer seed table (skips the first m extensions of MEM steps 1 and 3),
     # built on device: the expansion is itself batched extension, and at m=12
@@ -112,9 +113,9 @@ def main():
     mer_kw = dict(mer_table=mer_table, mer_keys=mer_keys[order_d],
                   mer_valid=mer_valid[order_d], mer_m=MER_M)
 
-    # lanes per launch (measured optimum ~4096 on v5e with the gather-free
-    # loop body; straggler waste is only ~1.2x at these sizes, see PERF.md)
-    CHUNK = 4096
+    # lanes per launch (measured optimum 8192 on v5e with checkpoint rank;
+    # the 4096 optimum of the gather-bound dense mode no longer applies)
+    CHUNK = 8192
 
     def run_all():
         counts = []

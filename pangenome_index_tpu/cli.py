@@ -128,6 +128,69 @@ def cmd_find_mems(args) -> int:
                 print("".join(f"{v}, " for v in tpos[fi, : tuniq[fi]]))
                 fi += 1
             print()
+    elif getattr(args, "mesh", None):
+        # full serving step over a (data x model) jax.sharding.Mesh: reads
+        # sharded over 'data', run table sharded over 'model' (rank via one
+        # psum), tag tables replicated - the TPU-native deployment of the
+        # reference's per-chromosome sharding (parallel/engine.py)
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.tables import tags_to_device
+        from .parallel.engine import make_distributed_serving_step
+        from .parallel.multihost import init_distributed
+        from .parallel.sharding import make_mesh, pad_rindex_tables
+
+        init_distributed()
+        n_data, n_model = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh(n_data, n_model)
+        t_pad = pad_rindex_tables(idx, n_model)
+        tt = tags_to_device(tags)
+        step = make_distributed_serving_step(
+            mesh, capacity=args.mem_capacity, tag_capacity=args.tag_capacity)
+        codes, lens = _pack_reads(reads)
+        n_reads = len(reads)
+        pad = (-n_reads) % n_data
+        codes_p = np.pad(codes, ((0, pad), (0, 0)))
+        lens_p = np.pad(lens, (0, pad))
+        tm = time.perf_counter()
+        with mesh:
+            res, tqr, _total = step(
+                t_pad, tt, jnp.asarray(codes_p), jnp.asarray(lens_p),
+                jnp.asarray(args.min_len, t_pad.pos_dtype),
+                jnp.asarray(args.min_occ, t_pad.pos_dtype))
+        starts, ends, bwts, sizes, counts, overflow = (
+            np.array(a)[:n_reads] for a in res)
+        total_mem_time = time.perf_counter() - tm
+        M = starts.shape[1]
+        tp = np.asarray(tqr.positions).reshape(-1, M, args.tag_capacity)[:n_reads]
+        tu = np.asarray(tqr.n_unique)[:n_reads]
+        tof = np.asarray(tqr.overflow)[:n_reads]
+        tq = time.perf_counter()
+        fi = 0
+        for i in range(n_reads):
+            print(f"Seq: {i + 1}")
+            if overflow[i]:
+                from .models.mems import find_all_mems
+
+                mems = find_all_mems(idx, reads[i], args.min_len, args.min_occ)
+                for m in mems:
+                    print(f"MEM START: {m.start}, MEM END: {m.end} BWT START: {m.bwt_start} SIZE: {m.size}")
+                    vals, _ = tags.query(m.bwt_start, m.bwt_start + m.size - 1)
+                    print(f"Number of unique positions: {len(vals)}")
+                    print("".join(f"{v}, " for v in vals))
+                print()
+                continue
+            for m in range(int(counts[i])):
+                print(f"MEM START: {starts[i, m]}, MEM END: {ends[i, m]} BWT START: {bwts[i, m]} SIZE: {sizes[i, m]}")
+                if tof[i, m]:
+                    vals, _ = tags.query(int(bwts[i, m]), int(bwts[i, m] + sizes[i, m] - 1))
+                else:
+                    vals = tp[i, m, : tu[i, m]]
+                print(f"Number of unique positions: {len(vals)}")
+                print("".join(f"{v}, " for v in vals))
+            print()
+        total_tag_time = time.perf_counter() - tq
     else:
         import jax.numpy as jnp
 
@@ -135,7 +198,10 @@ def cmd_find_mems(args) -> int:
         from .ops.tables import rindex_to_device, tags_to_device
         from .ops.tagquery import query_tags_batch
 
-        t = rindex_to_device(idx, dense=args.dense)
+        mode = args.rank_mode
+        if mode == "checkpoint" and idx.n >= 2**31:
+            mode = "dense"  # checkpoint rows index by pos>>6 in int32
+        t = rindex_to_device(idx, **({} if mode == "bucketed" else {mode: True}))
         tt = tags_to_device(tags)
         codes, lens = _pack_reads(reads)
         mer_kw = {}
@@ -253,7 +319,7 @@ def cmd_query_tags(args) -> int:
         from .ops.rank import count as count_batch
         from .ops.tables import rindex_to_device
 
-        t = rindex_to_device(idx)
+        t = rindex_to_device(idx, checkpoint=idx.n < 2**31)
         codes, lens = _pack_reads(reads)
         f, s = count_batch(t, jnp.asarray(codes), jnp.asarray(lens))
         ranges = list(zip(np.asarray(f).tolist(), np.asarray(s).tolist()))
@@ -436,7 +502,8 @@ def cmd_build_tags(args) -> int:
 def cmd_merge_tags(args) -> int:
     from .core.merge import merge_tags_pipeline
 
-    return merge_tags_pipeline(args.gbz, args.ri, args.tags_dir, args.output)
+    return merge_tags_pipeline(args.gbz, args.ri, args.tags_dir, args.output,
+                               window=args.window)
 
 
 def main(argv=None) -> int:
@@ -465,9 +532,15 @@ def main(argv=None) -> int:
                            help="do not persist the seed table next to the index")
             q.add_argument("--batch-size", type=int, default=2048,
                            help="device lanes per launch (straggler optimum)")
-            q.add_argument("--dense", action="store_true", default=True,
-                           help="dense rank tables (O(1) two-gather rank)")
-            q.add_argument("--no-dense", dest="dense", action="store_false")
+            q.add_argument("--mesh", default=None, metavar="DATAxMODEL",
+                           help="serve over a (data x model) device mesh, "
+                                "e.g. 4x2: reads data-sharded, run table "
+                                "model-sharded (rank = one psum over ICI)")
+            q.add_argument("--rank-mode", default="checkpoint",
+                           choices=["checkpoint", "dense", "ultra", "bucketed"],
+                           help="device rank representation (checkpoint: one "
+                                "64B gather per rank6 query - the fastest, "
+                                "see PERF.md)")
         q.add_argument("--engine", choices=["device", "host", "native"], default="device")
         q.set_defaults(fn=fn)
 
@@ -518,6 +591,8 @@ def main(argv=None) -> int:
     mt.add_argument("ri")
     mt.add_argument("tags_dir")
     mt.add_argument("output")
+    mt.add_argument("--window", type=int, default=1 << 22,
+                    help="BWT rows processed per batch (bounds peak memory)")
     mt.set_defaults(fn=cmd_merge_tags)
 
     args = p.parse_args(argv)

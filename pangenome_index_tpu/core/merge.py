@@ -126,7 +126,113 @@ def merge_tags(gbz: GBZ, idx: RIndex, comp_tags: dict[int, TagArray]) -> TagArra
     return TagArray.from_runs(vals, lens)
 
 
-def merge_tags_pipeline(gbz_path: str, ri_path: str, tags_dir: str, output: str) -> int:
+class _StreamCursor:
+    """Sequential consumer of one component's run-level tag stream.
+
+    Replaces the reference FileReader's 1M-run ring buffer + turn-ticket
+    protocol (merge_tags.cpp:42-284): the BWT-order invariant means each
+    stream is only ever read forward, so a cursor into the run-level arrays
+    suffices; `take(k)` materializes exactly the k consumed positions."""
+
+    def __init__(self, tags: TagArray):
+        self.vals = tags.pos_enc
+        self.cum = np.concatenate(([0], np.cumsum(tags.run_lengths())))
+        self.consumed = 0
+
+    @property
+    def remaining(self) -> int:
+        return int(self.cum[-1]) - self.consumed
+
+    def take(self, k: int) -> np.ndarray:
+        a, b = self.consumed, self.consumed + int(k)
+        if b > self.cum[-1]:
+            raise ValueError(
+                f"tag stream exhausted: need {b} positions, have {self.cum[-1]}")
+        i0 = int(np.searchsorted(self.cum, a, side="right")) - 1
+        i1 = int(np.searchsorted(self.cum, b, side="left"))
+        reps = np.minimum(self.cum[i0 + 1 : i1 + 1], b) - np.maximum(self.cum[i0:i1], a)
+        self.consumed = b
+        return np.repeat(self.vals[i0:i1], reps)
+
+
+def merge_tags_streamed(gbz: GBZ, idx: RIndex, comp_tags: dict[int, TagArray],
+                        window: int = 1 << 22) -> TagArray:
+    """Bounded-memory merge: identical output to `merge_tags`, but the BWT is
+    walked in run batches of ~`window` rows (lane-per-run locateNext chains
+    restricted to the batch), each component stream is consumed through a
+    cursor, and runs are RLE-carried across batch boundaries. Peak memory is
+    O(window + total output runs) - no per-position whole-genome array
+    (the reference streams with 500-run jobs + ring buffers,
+    merge_tags.cpp:288-409; same invariant, array form)."""
+    n, n_seq, r = idx.n, idx.n_seq, idx.n_runs
+    comp_of_node = node_components(gbz)
+    if n_seq == gbz.index.sequences:
+        seq_map = list(range(n_seq))
+    elif 2 * n_seq == gbz.index.sequences:
+        seq_map = [2 * i for i in range(n_seq)]
+    else:
+        raise ValueError("sequence count mismatch between text and GBWT")
+    seq_comp = np.array(
+        [comp_of_node[gbz.index.extract(sid)[0] >> 1] for sid in seq_map], dtype=np.int64
+    )
+    cursors = {c: _StreamCursor(t) for c, t in comp_tags.items()}
+
+    out_vals: list[np.ndarray] = []
+    out_lens: list[np.ndarray] = []
+    prev_val, prev_len = None, 0
+    j0 = 0
+    while j0 < r:
+        row0 = int(idx.run_start[j0])
+        j1 = int(np.searchsorted(idx.run_start, row0 + window, side="left"))
+        j1 = max(j1, j0 + 1)
+        row1 = int(idx.run_start[j1]) if j1 < r else n
+        W = row1 - row0
+        # sequence-of-row for the batch rows via lane-per-run locateNext
+        lens_b = idx.run_len[j0:j1]
+        starts_b = idx.run_start[j0:j1] - row0
+        cur = idx.samples[j0:j1].copy()
+        srows_w = np.zeros(W, dtype=np.int64)
+        active = np.ones(j1 - j0, dtype=bool)
+        t = 0
+        while active.any():
+            rows = starts_b[active] + t
+            srows_w[rows] = cur[active] // idx.max_len
+            t += 1
+            active = active & (lens_b > t)
+            if active.any():
+                cur[active] = idx.locate_next(cur[active])
+        # route rows to component streams; endmarker rows tag 0 (merge_tags.cpp:620-624)
+        tag_w = np.zeros(W, dtype=np.int64)
+        body = np.arange(W)[row0 + np.arange(W) >= n_seq]
+        comp_w = seq_comp[srows_w[body]]
+        for c in np.unique(comp_w):
+            if int(c) not in cursors:
+                raise ValueError(f"no tag stream for component {c}")
+            mask = comp_w == c
+            tag_w[body[mask]] = cursors[int(c)].take(int(mask.sum()))
+        vals_w, lens_w = rle(tag_w)
+        if prev_val is not None and len(vals_w) and vals_w[0] == prev_val:
+            lens_w = lens_w.copy()
+            lens_w[0] += prev_len
+        elif prev_val is not None:
+            out_vals.append(np.array([prev_val], np.int64))
+            out_lens.append(np.array([prev_len], np.int64))
+        if len(vals_w):
+            out_vals.append(vals_w[:-1])
+            out_lens.append(lens_w[:-1])
+            prev_val, prev_len = int(vals_w[-1]), int(lens_w[-1])
+        j0 = j1
+    if prev_val is not None:
+        out_vals.append(np.array([prev_val], np.int64))
+        out_lens.append(np.array([prev_len], np.int64))
+    for c, cur_ in cursors.items():
+        if cur_.remaining:
+            raise ValueError(f"component {c}: {cur_.remaining} unconsumed tag positions")
+    return TagArray.from_runs(np.concatenate(out_vals), np.concatenate(out_lens))
+
+
+def merge_tags_pipeline(gbz_path: str, ri_path: str, tags_dir: str, output: str,
+                        window: int = 1 << 22) -> int:
     from ..formats import tags as tagfmt
     from ..formats import ri as rifmt
     from ..formats.gbz import load_gbz
@@ -138,14 +244,14 @@ def merge_tags_pipeline(gbz_path: str, ri_path: str, tags_dir: str, output: str)
     for name in sorted(os.listdir(tags_dir)):
         if not name.endswith(".tags"):
             continue
-        with open(os.path.join(tags_dir, name), "rb") as fh:
-            raw = fh.read()
-        tags = tagfmt.read_algorithm(raw)
+        # any of the three tag formats (auto-detected); every format's runs
+        # cover the component's non-endmarker BWT rows in its own BWT order
+        tags = tagfmt.load_tags_file(os.path.join(tags_dir, name))
         first_node = int(tags.pos_enc[0]) >> 11
         comp = comp_of_node[first_node]
         comp_tags[comp] = tags
         print(f"{name}: component {comp}, {tags.n_runs} runs", file=sys.stderr)
-    merged = merge_tags(gbz, idx, comp_tags)
+    merged = merge_tags_streamed(gbz, idx, comp_tags, window=window)
     with open(output, "wb") as fh:
         fh.write(tagfmt.write_compressed_sdsl(
             merged, width=11 + max(int(n) for n in gbz.graph.node_ids).bit_length()))

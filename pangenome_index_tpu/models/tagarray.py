@@ -39,17 +39,21 @@ def decode_compact(enc):
 def split_long_runs(pos_enc: np.ndarray, lengths: np.ndarray):
     """Split runs >= MAX_TAG_LEN exactly like the reference writers: emit
     (pos, 511) while length >= 512, then the remainder if > 0
-    (tag_arrays.cpp:663-693, 897-927)."""
-    pos_out, len_out = [], []
-    for p, l in zip(pos_enc.tolist(), lengths.tolist()):
-        while l >= MAX_TAG_LEN:
-            pos_out.append(p)
-            len_out.append(MAX_TAG_LEN - 1)
-            l -= MAX_TAG_LEN - 1
-        if l > 0:
-            pos_out.append(p)
-            len_out.append(l)
-    return np.array(pos_out, dtype=np.int64), np.array(len_out, dtype=np.int64)
+    (tag_arrays.cpp:663-693, 897-927). Vectorized: a run of length l becomes
+    l//511 pieces of 511 plus an l%511 remainder piece (the loop above ends
+    on a full 511 piece exactly when 511 | l)."""
+    pos_enc = np.asarray(pos_enc, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    cap = MAX_TAG_LEN - 1
+    if not len(lengths) or int(lengths.max(initial=0)) < MAX_TAG_LEN:
+        return pos_enc, lengths
+    q, rem = np.divmod(lengths, cap)
+    pieces = q + (rem > 0)
+    pos_out = np.repeat(pos_enc, pieces)
+    len_out = np.full(int(pieces.sum()), cap, dtype=np.int64)
+    last = np.cumsum(pieces) - 1
+    len_out[last] = np.where(rem > 0, rem, cap)
+    return pos_out, len_out
 
 
 @dataclass

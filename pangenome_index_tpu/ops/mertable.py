@@ -92,21 +92,30 @@ def build_mer_table_device(t, m: int) -> "jax.Array":
         def _build(t, m):
             pd = t.pos_dtype
             size = 4**m
-            keys = jnp.arange(size, dtype=jnp.int32)
-            k = jnp.zeros(size, pd)
-            kp = jnp.zeros(size, pd)
-            s = jnp.full(size, t.n, pd)
+            # slab the key space: a full-width extend materializes
+            # [4^m, row] gather temps (1+ GB/temp at m=12 in checkpoint
+            # mode - HBM OOM); lax.map bounds live temps to one slab
+            slab = min(size, 1 << 18)
+            n_slabs = size // slab
+            keys = jnp.arange(size, dtype=jnp.int32).reshape(n_slabs, slab)
+            k = jnp.zeros((n_slabs, slab), pd)
+            kp = jnp.zeros((n_slabs, slab), pd)
+            s = jnp.full((n_slabs, slab), t.n, pd)
 
             def body(v, st):
-                k, kp, s = st
-                # prepend the char left of the length-v suffix: 2-bit base at
-                # bit 2v; codes are 1,2,3,5 for bases 0,1,2,3 (= b+1+[b==3])
-                b = (keys >> (2 * v)) & 3
-                c = b + 1 + (b == 3)
-                return extend(t, k, kp, s, c)
+                def one(args):
+                    kk, k1, kp1, s1 = args
+                    # prepend the char left of the length-v suffix: 2-bit
+                    # base at bit 2v; codes are 1,2,3,5 for bases 0,1,2,3
+                    b = (kk >> (2 * v)) & 3
+                    c = b + 1 + (b == 3)
+                    return extend(t, k1, kp1, s1, c)
+
+                return jax.lax.map(one, (keys, *st))
 
             k, kp, s = jax.lax.fori_loop(0, m, body, (k, kp, s))
-            return jnp.stack((k, kp, s), axis=1)
+            return jnp.stack((k.reshape(size), kp.reshape(size),
+                              s.reshape(size)), axis=1)
 
         _build_mer_jit = _build
     return _build_mer_jit(t, m)

@@ -9,12 +9,14 @@ import pytest
 ENV_KEYS = ["PATH", "HOME"]
 
 
-def run(args, tmp_path, check=True):
+def run(args, tmp_path, check=True, env_extra=None):
     import os
 
     env = {k: os.environ[k] for k in ENV_KEYS if k in os.environ}
     env["PYTHONPATH"] = str(tmp_path.parent.parent) if False else "/root/repo"
     env["JAX_PLATFORMS"] = "cpu"
+    if env_extra:
+        env.update(env_extra)
     return subprocess.run(
         [sys.executable, "-m", "pangenome_index_tpu.cli", *args],
         capture_output=True, env=env, cwd=tmp_path, timeout=300, check=check,
@@ -120,6 +122,61 @@ def test_synthetic_graph_full_pipeline(tmp_path):
         outs[eng] = b"\n".join(l for l in o.stdout.splitlines()
                                if b"seconds" not in l)
     assert outs["device"] == outs["host"]
+
+
+def test_mesh_cli_matches_host_engine(ref_data, tmp_path):
+    """`find-mems --mesh 4x2` on an 8-virtual-device CPU mesh: stdout equals
+    the host engine exactly (VERDICT r1 item 5: the mesh is reachable from
+    the CLI, not library-only)."""
+    ref = ref_data / "bidirectional_test"
+    outs = {}
+    for name, extra, env in (
+        ("host", ["--engine", "host"], None),
+        ("mesh", ["--mesh", "4x2"],
+         {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}),
+    ):
+        o = run(["find-mems", str(ref / "xy.ri"),
+                 str(ref / "xy_bidirectional_compressed.tags"),
+                 str(ref / "test_reads.txt"), "3", "1", *extra],
+                tmp_path, env_extra=env)
+        outs[name] = b"\n".join(l for l in o.stdout.splitlines()
+                                if b"seconds" not in l)
+    assert outs["mesh"] == outs["host"]
+
+
+def test_merge_tags_cli_accepts_all_formats(ref_data, tmp_path):
+    """merge-tags consumes per-component inputs in any tag format (algorithm
+    raw ByteCode, compressed bytecode, compressed sdsl) and a small --window,
+    producing identical whole-genome output."""
+    from pangenome_index_tpu.formats import tags as tagfmt
+
+    base = ref_data / "two_contig_graph"
+    # per-contig algorithm-format tag files built by our own pipeline
+    for g, rl, name in [("x.gbz", "contigs_chrX.rl_bwt", "x"),
+                        ("y.gbz", "contigs_chrY.rl_bwt", "y")]:
+        run(["build-tags", str(base / g), str(base / rl), f"alg_{name}.tags"],
+            tmp_path)
+    d_alg = tmp_path / "d_alg"
+    d_mix = tmp_path / "d_mix"
+    d_alg.mkdir()
+    d_mix.mkdir()
+    for name in ("x", "y"):
+        raw = (tmp_path / f"alg_{name}.tags").read_bytes()
+        (d_alg / f"{name}.tags").write_bytes(raw)
+    # mixed formats: x as compressed sdsl, y as compressed bytecode
+    (d_mix / "x.tags").write_bytes(
+        tagfmt.write_compressed_sdsl(tagfmt.read_algorithm((d_alg / "x.tags").read_bytes())))
+    (d_mix / "y.tags").write_bytes(
+        tagfmt.write_compressed_bytecode(tagfmt.read_algorithm((d_alg / "y.tags").read_bytes())))
+    # build the whole-genome r-index
+    run(["build-rindex", str(base / "contigs_XY.rl_bwt"), "-o", "xy.ri"], tmp_path)
+    run(["merge-tags", str(base / "xy.gbz"), "xy.ri", str(d_alg), "merged_a.tags"],
+        tmp_path)
+    run(["merge-tags", str(base / "xy.gbz"), "xy.ri", str(d_mix), "merged_m.tags",
+         "--window", "97"], tmp_path)
+    a = (tmp_path / "merged_a.tags").read_bytes()
+    m = (tmp_path / "merged_m.tags").read_bytes()
+    assert a and a == m
 
 
 def test_facade_api(ref_data):

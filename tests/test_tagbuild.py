@@ -71,6 +71,31 @@ def test_merge_matches_direct_whole_genome(ref_data):
     np.testing.assert_array_equal(per_pos_merged, per_pos_direct)
 
 
+def test_streamed_merge_equals_full_merge(ref_data):
+    """merge_tags_streamed with a tiny window (forcing many batches + RLE
+    boundary carries + incremental stream-cursor consumption) produces the
+    identical TagArray as the all-in-RAM merge."""
+    from pangenome_index_tpu.core.merge import merge_tags_streamed
+
+    base = ref_data / "two_contig_graph"
+    gbz_xy = load_gbz(base / "xy.gbz")
+    idx_xy = build_rindex(read_rlbwt(base / "contigs_XY.rl_bwt"), keep_sa=True)
+    comp_of_node = node_components(gbz_xy)
+    comp_tags = {}
+    for g, rl in [("x.gbz", "contigs_chrX.rl_bwt"), ("y.gbz", "contigs_chrY.rl_bwt")]:
+        sub_gbz = load_gbz(base / g)
+        sub_idx = build_rindex(read_rlbwt(base / rl), keep_sa=True)
+        tags = build_tags(sub_gbz, sub_idx)
+        comp_tags[comp_of_node[int(tags.pos_enc[0]) >> 11]] = tags
+
+    full = merge_tags(gbz_xy, idx_xy, comp_tags)
+    for window in (97, 4096):
+        streamed = merge_tags_streamed(gbz_xy, idx_xy, comp_tags, window=window)
+        np.testing.assert_array_equal(streamed.pos_enc, full.pos_enc)
+        np.testing.assert_array_equal(streamed.bwt_start, full.bwt_start)
+        assert streamed.total == full.total
+
+
 def test_committed_two_contig_ri_matches_build(ref_data):
     base = ref_data / "two_contig_graph"
     idx = rifmt.load_file(base / "r-index/xy.ri")
