@@ -50,104 +50,172 @@ def _encode_record(edges: list[tuple[int, int]], runs: list[tuple[int, int]]) ->
     return bytes(out)
 
 
+def _suffix_ranks(T: np.ndarray) -> np.ndarray:
+    """Rank of every suffix of integer array T (prefix doubling, numpy
+    lexsort). Callers ensure suffixes become distinct before comparisons can
+    run past their own region (per-sequence unique terminators)."""
+    N = len(T)
+    rank = np.unique(T, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    while int(rank.max()) < N - 1:
+        key2 = np.zeros(N, np.int64)
+        key2[: N - k] = rank[k:] + 1
+        order = np.lexsort((key2, rank))
+        r1, k1 = rank[order], key2[order]
+        bump = np.concatenate(([0], ((r1[1:] != r1[:-1]) | (k1[1:] != k1[:-1])).astype(np.int64)))
+        nxt = np.empty(N, np.int64)
+        nxt[order] = np.cumsum(bump)
+        rank = nxt
+        k *= 2
+    return rank
+
+
+def _encode_records_native(edge_ptr, edge_node, edge_off, run_ptr, run_rank, run_len):
+    import ctypes
+
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "panindex_gbwt_encode"):
+        return None
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    n_rec = len(edge_ptr) - 1
+    args = (ptr(edge_ptr, ctypes.c_int64), ptr(edge_node, ctypes.c_int64),
+            ptr(edge_off, ctypes.c_int64), ptr(run_ptr, ctypes.c_int64),
+            ptr(run_rank, ctypes.c_int32), ptr(run_len, ctypes.c_int64),
+            ctypes.c_int64(n_rec))
+    sizes = np.zeros(n_rec, np.int64)
+    lib.panindex_gbwt_encode(*args, ptr(sizes, ctypes.c_int64),
+                             ptr(sizes, ctypes.c_int64), ptr(sizes.view(np.uint8), ctypes.c_uint8),
+                             ctypes.c_int32(0), ctypes.c_int32(0))
+    starts = np.concatenate(([0], np.cumsum(sizes)))
+    out = np.zeros(int(starts[-1]), np.uint8)
+    lib.panindex_gbwt_encode(*args, ptr(sizes, ctypes.c_int64),
+                             ptr(starts, ctypes.c_int64), ptr(out, ctypes.c_uint8),
+                             ctypes.c_int32(1), ctypes.c_int32(0))
+    return out.tobytes(), starts[:-1]
+
+
 def gbwt_from_paths(paths: list[list[int]], alphabet_size: int | None = None) -> GBWT:
     """Build a GBWT from paths of gbwt node ids (2*node + orientation).
 
     paths[i] is sequence i (callers wanting a bidirectional index pass both
     orientations explicitly, like the fixtures).
+
+    Array program throughout (scales to chromosome-length paths): the visit
+    order at each node is by *reversed path prefix*, which is exactly the
+    suffix order of the reversed paths - computed once with prefix doubling -
+    and edge offsets / run lists follow from sorted key lookups. Record bytes
+    are emitted by the native encoder (src/cpp/gbwt_decode.cpp) with a
+    per-record Python fallback.
     """
     n_seq = len(paths)
-    max_node = max((max(p) for p in paths if p), default=1)
+    arrs = [np.asarray(p, dtype=np.int64) for p in paths]
+    if any(len(a) == 0 for a in arrs):
+        raise ValueError("empty paths are not representable")
+    lens = np.array([len(a) for a in arrs], np.int64)
+    max_node = int(max(int(a.max()) for a in arrs))
     if alphabet_size is None:
         alphabet_size = max_node + 1
-    offset = min((min(p) for p in paths if p), default=2) - 1
+    offset = int(min(int(a.min()) for a in arrs)) - 1
 
-    # visits[v] = list of (sort_key, seq, step); sort key = reversed prefix
-    # (node ids walking backward from the visit), with the sequence id
-    # appended so identical prefixes order by sequence - mirroring the
-    # endmarker record's run order
-    visits: dict[int, list[tuple[tuple, int, int]]] = {}
-    for seq, p in enumerate(paths):
-        for step, v in enumerate(p):
-            prefix = tuple(p[step - 1 :: -1]) if step > 0 else ()
-            key = prefix + (0, seq)
-            visits.setdefault(v, []).append((key, seq, step))
-    for v in visits:
-        visits[v].sort()
+    L = int(lens.sum())
+    flat = np.concatenate(arrs)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    seq_of = np.repeat(np.arange(n_seq, dtype=np.int64), lens)
+    step_of = np.arange(L, dtype=np.int64) - starts[seq_of]
+    succ = np.concatenate((flat[1:], [0]))
+    succ[step_of == lens[seq_of] - 1] = 0
+    pred = np.concatenate(([0], flat[:-1]))
+    pred[step_of == 0] = 0
 
-    # per-node visit order lookup: (seq, step) -> offset within node
-    order_of: dict[tuple[int, int], int] = {}
-    for v, vs in visits.items():
-        for i, (_, seq, step) in enumerate(vs):
-            order_of[(seq, step)] = i
+    # reversed concatenation with per-seq terminators (terminator of seq s =
+    # value s, nodes shifted above them): the suffix starting at
+    # base2[seq] + (len - step) spells visit (seq, step)'s reversed prefix,
+    # and unique terminators give the sequence-id tiebreak for free
+    parts = []
+    for s, a in enumerate(arrs):
+        parts.append(a[::-1] + n_seq)
+        parts.append(np.array([s], np.int64))
+    T = np.concatenate(parts)
+    base2 = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]
+    rank = _suffix_ranks(T)
+    vrank = rank[base2[seq_of] + lens[seq_of] - step_of]
 
+    order = np.lexsort((vrank, flat))           # visits by (node, visit order)
+    v_s = flat[order]
+    succ_s = succ[order]
+    BIG = max_node + 2
+    pair_keys = v_s * BIG + succ_s
+    uniq = np.unique(pair_keys)                 # per-node successor lists, w-sorted
+    edge_v = uniq // BIG
+    edge_w = uniq % BIG
+    # edge offset of v->w = #visits at w whose predecessor node id < v: one
+    # searchsorted against the sorted (node, pred) visit keys
+    visit_keys = np.sort(flat * BIG + pred)
+    cnt = (np.searchsorted(visit_keys, edge_w * BIG + edge_v)
+           - np.searchsorted(visit_keys, edge_w * BIG))
+    edge_offs = np.where(edge_w == 0, 0, cnt)
+    # per-visit edge rank (index of succ within its node's successor list)
+    c_s = np.searchsorted(uniq, pair_keys) - np.searchsorted(uniq, v_s * BIG)
+    # run-length encode successor ranks within each node's visit segment
+    newrun = np.concatenate(([True], (v_s[1:] != v_s[:-1]) | (c_s[1:] != c_s[:-1])))
+    run_idx = np.flatnonzero(newrun)
+    run_v = v_s[run_idx]
+    run_c = c_s[run_idx].astype(np.int32)
+    run_l = np.diff(np.concatenate((run_idx, [L])))
+
+    # endmarker record: every sequence starts there in sequence order
+    first_nodes = np.unique(flat[starts])
+    c0 = np.searchsorted(first_nodes, flat[starts])
+    nr0 = np.concatenate(([True], c0[1:] != c0[:-1]))
+    r0 = np.flatnonzero(nr0)
+    runs0_rank = c0[r0].astype(np.int32)
+    runs0_len = np.diff(np.concatenate((r0, [n_seq])))
+
+    # assemble the record CSR (comp 0 = endmarker, comp c>0 = node c+offset;
+    # uniq/run_v are already node-sorted so concatenation is placement)
     comp_count = alphabet_size - offset
-    records: list[bytes] = []
+    edge_counts = np.bincount(edge_v - offset, minlength=comp_count)
+    edge_counts[0] = len(first_nodes)
+    edge_ptr = np.concatenate(([0], np.cumsum(edge_counts)))
+    edge_node_a = np.empty(int(edge_ptr[-1]), np.int64)
+    edge_off_a = np.empty_like(edge_node_a)
+    nf = len(first_nodes)
+    edge_node_a[:nf], edge_off_a[:nf] = first_nodes, 0
+    edge_node_a[nf:], edge_off_a[nf:] = edge_w, edge_offs
+    run_counts = np.bincount(run_v - offset, minlength=comp_count)
+    run_counts[0] = len(r0)
+    run_ptr = np.concatenate(([0], np.cumsum(run_counts)))
+    run_rank_a = np.empty(int(run_ptr[-1]), np.int32)
+    run_len_a = np.empty(int(run_ptr[-1]), np.int64)
+    nr = len(r0)
+    run_rank_a[:nr], run_len_a[:nr] = runs0_rank, runs0_len
+    run_rank_a[nr:], run_len_a[nr:] = run_c, run_l
 
-    def successors(v: int, vs):
-        succ: dict[int, int] = {}
-        for _, seq, step in vs:
-            p = paths[seq]
-            w = p[step + 1] if step + 1 < len(p) else 0
-            succ.setdefault(w, 0)
-        return sorted(succ)
-
-    # endmarker record: every sequence starts here in sequence order
-    first_nodes = sorted({p[0] for p in paths if p})
-    edges0 = []
-    for w in first_nodes:
-        # offset of the first v=0-predecessor visit at w: visits at w sorted
-        # by reversed prefix; a path-initial visit has key (0, seq) which
-        # sorts after... the reversed prefix of a path-initial visit is
-        # empty -> key = (0, seq): tuples starting with 0 sort before any
-        # node id >= 2, so initial visits come first at w, ordered by seq
-        edges0.append((w, 0))
-    runs0 = []
-    for seq, p in enumerate(paths):
-        c = first_nodes.index(p[0]) if p else 0
-        if runs0 and runs0[-1][0] == c:
-            runs0[-1] = (c, runs0[-1][1] + 1)
-        else:
-            runs0.append((c, 1))
-    records.append(_encode_record(edges0, runs0))
-
-    for comp in range(1, comp_count):
-        v = comp + offset
-        vs = visits.get(v)
-        if not vs:
-            records.append(_encode_record([], []))
-            continue
-        succs = successors(v, vs)
-        # edge offsets: #visits at w with predecessor node < v
-        edges = []
-        for w in succs:
-            if w == 0:
-                edges.append((0, 0))
-                continue
-            cnt = 0
-            for _, seq, step in visits.get(w, []):
-                pred = paths[seq][step - 1] if step > 0 else 0
-                if pred < v:
-                    cnt += 1
-            edges.append((w, cnt))
-        runs = []
-        for _, seq, step in vs:
-            p = paths[seq]
-            w = p[step + 1] if step + 1 < len(p) else 0
-            c = succs.index(w)
-            if runs and runs[-1][0] == c:
-                runs[-1] = (c, runs[-1][1] + 1)
-            else:
-                runs.append((c, 1))
-        records.append(_encode_record(edges, runs))
-
-    data = b"".join(records)
-    starts = np.zeros(len(records), dtype=np.int64)
-    np.cumsum([len(r) for r in records[:-1]], out=starts[1:])
-    size = sum(len(p) + 1 for p in paths)
+    enc = _encode_records_native(edge_ptr, edge_node_a, edge_off_a,
+                                 run_ptr, run_rank_a, run_len_a)
+    if enc is not None:
+        data, rec_starts = enc
+    else:
+        records = []
+        for i in range(comp_count):
+            e0, e1 = int(edge_ptr[i]), int(edge_ptr[i + 1])
+            r0_, r1_ = int(run_ptr[i]), int(run_ptr[i + 1])
+            records.append(_encode_record(
+                [(int(edge_node_a[j]), int(edge_off_a[j])) for j in range(e0, e1)],
+                [(int(run_rank_a[j]), int(run_len_a[j])) for j in range(r0_, r1_)]))
+        data = b"".join(records)
+        rec_starts = np.zeros(len(records), dtype=np.int64)
+        np.cumsum([len(rb) for rb in records[:-1]], out=rec_starts[1:])
+    size = int((lens + 1).sum())
     return GBWT(sequences=n_seq, size=size, offset=offset,
                 alphabet_size=alphabet_size, flags=GBWT.FLAG_BIDIRECTIONAL,
-                record_starts=starts, bwt_data=data)
+                record_starts=np.asarray(rec_starts, np.int64), bwt_data=bytes(data),
+                tags=[])
 
 
 def gbz_from_graph(node_seqs: dict[int, bytes], paths: list[list[int]]) -> GBZ:

@@ -16,8 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..formats.gbz import GBZ, node_seq
-from .tagbuild import path_tag_array
+from ..formats.gbz import GBZ
 
 #: 2-bit packing matching gbwtgraph::Key64::encode: A=0, C=1, G=2, T=3
 PACK = np.full(256, -1, dtype=np.int8)
@@ -46,17 +45,28 @@ def kmer_keys(seq: bytes, k: int) -> tuple[np.ndarray, np.ndarray]:
 def unique_kmers(gbz: GBZ, k: int) -> tuple[np.ndarray, np.ndarray]:
     """(sorted keys, packed positions) of k-mers with exactly one graph
     position across all haplotype sequences (both GBWT orientations, matching
-    for_each_haplotype_window's coverage of both strands)."""
-    seq_index = gbz.graph.seq_index()
+    for_each_haplotype_window's coverage of both strands).
+
+    One batched path walk for all sequences (formats/gbwt_table), then the
+    text/positions of every path come from two vectorized expansions
+    (core/tagbuild.visits_to_text/_tags) - no per-node interpreter loop."""
+    from .tagbuild import graph_arrays, visits_to_tags, visits_to_text
+
+    visits, vptr = gbz.index.table().extract_all(
+        np.arange(gbz.index.sequences, dtype=np.int64))
+    text_all = visits_to_text(gbz, visits)
+    pos_all = visits_to_tags(gbz, visits)
+    # per-sequence char spans (k-mer windows must not straddle sequences)
+    _, _, node_lens, first = graph_arrays(gbz)
+    vl = node_lens[(visits >> 1) - first]
+    cum_vl = np.concatenate(([0], np.cumsum(vl)))
     all_keys = []
     all_pos = []
     for sid in range(gbz.index.sequences):
-        nodes = gbz.index.extract(sid)
-        text = b"".join(node_seq(gbz, n >> 1, bool(n & 1)) for n in nodes)
-        positions = path_tag_array(gbz, sid, seq_index)
-        keys, offs = kmer_keys(text, k)
+        c0, c1 = int(cum_vl[vptr[sid]]), int(cum_vl[vptr[sid + 1]])
+        keys, offs = kmer_keys(text_all[c0:c1].tobytes(), k)
         all_keys.append(keys)
-        all_pos.append(positions[offs])
+        all_pos.append(pos_all[c0:c1][offs])
     keys = np.concatenate(all_keys)
     pos = np.concatenate(all_pos)
     # dedupe (key, pos) pairs, then drop keys with >1 distinct position

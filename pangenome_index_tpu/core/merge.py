@@ -56,36 +56,41 @@ def seq_of_rows(idx: RIndex) -> np.ndarray:
     return out
 
 
-def node_components(gbz: GBZ) -> dict[int, int]:
+class NodeComponents:
+    """Array-backed node -> component-representative map (smallest member
+    graph node id), dict-like for the routing lookups. Computed from the
+    decoded record table's successor edges in one vectorized pass
+    (formats/gbwt_table.component_labels, replacing the per-record Python
+    union-find; semantics of gbwtgraph::weakly_connected_components /
+    algorithm.hpp:600-618)."""
+
+    def __init__(self, gbz: GBZ):
+        self.first = int(gbz.graph.node_ids[0])
+        self.labels = gbz.index.table().component_labels(
+            self.first, len(gbz.graph.node_ids))
+
+    def __getitem__(self, node_id: int) -> int:
+        return int(self.labels[int(node_id) - self.first])
+
+    def __contains__(self, node_id: int) -> bool:
+        return 0 <= int(node_id) - self.first < len(self.labels)
+
+
+def node_components(gbz: GBZ) -> NodeComponents:
     """Weakly-connected components over the graph's edges (successor lists
-    from GBWT records), smallest node id as representative ordering - matches
-    gbwtgraph::weakly_connected_components enumeration order closely enough
-    for routing (components are identified by their member nodes)."""
-    parent: dict[int, int] = {}
+    from GBWT records), smallest node id as representative."""
+    return NodeComponents(gbz)
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
 
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+def _seq_components(gbz: GBZ, comp_of_node: NodeComponents, n_seq: int) -> np.ndarray:
+    """Component of each text sequence via the first node of its path: one
+    vectorized LF on record 0 (merge_tags.cpp:508-515 walks the whole path;
+    the first visit suffices to identify the component)."""
+    from .tagbuild import text_seq_map
 
-    g = gbz.index
-    for node_id in gbz.graph.node_ids:
-        for orient in (0, 1):
-            node = 2 * int(node_id) + orient
-            try:
-                rec = g.record(node)
-            except Exception:
-                continue
-            for succ, _ in rec.edges:
-                if succ != 0:
-                    union(int(node_id), succ >> 1)
-    return {int(n): find(int(n)) for n in gbz.graph.node_ids}
+    seq_map = np.array(text_seq_map(gbz, n_seq), np.int64)
+    firsts = gbz.index.table().first_nodes(seq_map)
+    return comp_of_node.labels[(firsts >> 1) - comp_of_node.first]
 
 
 def merge_tags(gbz: GBZ, idx: RIndex, comp_tags: dict[int, TagArray]) -> TagArray:
@@ -94,17 +99,7 @@ def merge_tags(gbz: GBZ, idx: RIndex, comp_tags: dict[int, TagArray]) -> TagArra
     in its own BWT order)."""
     n, n_seq = idx.n, idx.n_seq
     comp_of_node = node_components(gbz)
-
-    # sequence -> component via the first node of its path
-    if n_seq == gbz.index.sequences:
-        seq_map = list(range(n_seq))
-    elif 2 * n_seq == gbz.index.sequences:
-        seq_map = [2 * i for i in range(n_seq)]
-    else:
-        raise ValueError("sequence count mismatch between text and GBWT")
-    seq_comp = np.array(
-        [comp_of_node[gbz.index.extract(sid)[0] >> 1] for sid in seq_map], dtype=np.int64
-    )
+    seq_comp = _seq_components(gbz, comp_of_node, n_seq)
 
     srows = seq_of_rows(idx)
     comp_per_row = seq_comp[srows]
@@ -166,15 +161,7 @@ def merge_tags_streamed(gbz: GBZ, idx: RIndex, comp_tags: dict[int, TagArray],
     merge_tags.cpp:288-409; same invariant, array form)."""
     n, n_seq, r = idx.n, idx.n_seq, idx.n_runs
     comp_of_node = node_components(gbz)
-    if n_seq == gbz.index.sequences:
-        seq_map = list(range(n_seq))
-    elif 2 * n_seq == gbz.index.sequences:
-        seq_map = [2 * i for i in range(n_seq)]
-    else:
-        raise ValueError("sequence count mismatch between text and GBWT")
-    seq_comp = np.array(
-        [comp_of_node[gbz.index.extract(sid)[0] >> 1] for sid in seq_map], dtype=np.int64
-    )
+    seq_comp = _seq_components(gbz, comp_of_node, n_seq)
     cursors = {c: _StreamCursor(t) for c, t in comp_tags.items()}
 
     out_vals: list[np.ndarray] = []

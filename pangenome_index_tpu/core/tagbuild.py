@@ -33,42 +33,98 @@ from ..models.rindex import RIndex, build_rindex
 from ..models.tagarray import TagArray
 
 
-def path_tag_array(gbz: GBZ, seq_id: int, seq_index: dict[int, int]) -> np.ndarray:
+#: byte-level reverse-complement LUT (identity off ACGTN)
+_COMP_LUT = np.arange(256, dtype=np.uint8)
+for _a, _b in zip(b"ACGTacgt", b"TGCAtgca"):
+    _COMP_LUT[_a] = _b
+
+
+def graph_arrays(gbz: GBZ):
+    """(blob, starts, lens, first_node): all node sequences as one uint8 blob
+    with per-node offsets - the array form of GBWTGraph.sequences (cached)."""
+    ga = getattr(gbz, "_graph_arrays", None)
+    if ga is None:
+        seqs = gbz.graph.sequences
+        lens = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        blob = np.frombuffer(b"".join(seqs), np.uint8)
+        ga = (blob, starts, lens, int(gbz.graph.node_ids[0]))
+        object.__setattr__(gbz, "_graph_arrays", ga)
+    return ga
+
+
+def _expand_visits(gbz: GBZ, visits: np.ndarray):
+    """Per-character expansion of a flat node-visit array: returns
+    (vi, offs, nid, rev, char_counts) where vi indexes visits per character
+    and offs is the within-node offset."""
+    _, _, lens, first = graph_arrays(gbz)
+    nid = visits >> 1
+    rev = (visits & 1).astype(np.int64)
+    vl = lens[nid - first]
+    vi = np.repeat(np.arange(len(visits), dtype=np.int64), vl)
+    base = np.cumsum(vl) - vl
+    offs = np.arange(int(vl.sum()), dtype=np.int64) - base[vi]
+    return vi, offs, nid, rev, vl
+
+
+def visits_to_tags(gbz: GBZ, visits: np.ndarray) -> np.ndarray:
+    """Compact-packed graph position of every character along the visits."""
+    vi, offs, nid, rev, _ = _expand_visits(gbz, visits)
+    return (nid[vi] << 11) | (rev[vi] << 10) | offs
+
+
+def visits_to_text(gbz: GBZ, visits: np.ndarray) -> np.ndarray:
+    """Concatenated oriented node sequences along the visits (uint8)."""
+    blob, starts, lens, first = graph_arrays(gbz)
+    vi, offs, nid, rev, _ = _expand_visits(gbz, visits)
+    row = nid[vi] - first
+    fwd = starts[row] + offs
+    bwd = starts[row] + lens[row] - 1 - offs
+    ch = blob[np.where(rev[vi] == 1, bwd, fwd)]
+    return np.where(rev[vi] == 1, _COMP_LUT[ch], ch)
+
+
+def path_tag_array(gbz: GBZ, seq_id: int, seq_index: dict[int, int] | None = None
+                   ) -> np.ndarray:
     """Compact-packed graph position of every character of sequence seq_id
     (terminator excluded), in path order."""
-    nodes = gbz.index.extract(seq_id)
-    parts = []
-    for n in nodes:
-        nid, rev = n >> 1, n & 1
-        length = len(gbz.graph.sequences[seq_index[nid]])
-        offs = np.arange(length, dtype=np.int64)
-        parts.append((nid << 11) | (rev << 10) | offs)
-    return np.concatenate(parts) if parts else np.zeros(0, np.int64)
+    visits = np.array(gbz.index.extract(seq_id), np.int64)
+    return visits_to_tags(gbz, visits)
+
+
+def text_seq_map(gbz: GBZ, n_seq: int) -> list[int]:
+    """GBWT sequence id of each text sequence. Text sequence i is GBWT
+    sequence i when the text contains both strands (the bidirectional
+    workflow, README.md:74-96); forward-strand-only texts (two_contig_graph
+    fixtures) contain only the even GBWT sequences."""
+    if n_seq == gbz.index.sequences:
+        return list(range(n_seq))
+    if 2 * n_seq == gbz.index.sequences:
+        return [2 * i for i in range(n_seq)]
+    raise ValueError(f"text has {n_seq} sequences but GBWT has {gbz.index.sequences}")
 
 
 def tags_per_row(gbz: GBZ, idx: RIndex) -> np.ndarray:
-    """tag[row] for rows [n_seq, n): packed graph positions in BWT row order."""
+    """tag[row] for rows [n_seq, n): packed graph positions in BWT row order.
+
+    Array program end to end: one batched record decode + native path walk
+    (formats/gbwt_table, vs the reference's per-visit iterator at
+    algorithm.hpp:398), one vectorized repeat for per-character positions,
+    one gather through the SA."""
     if idx.sa_seq is None:
         raise ValueError("r-index must be built with keep_sa=True")
     n_seq = idx.n_seq
-    seq_index = gbz.graph.seq_index()
-    # text sequence i is GBWT sequence i when the text contains both strands
-    # (the bidirectional workflow, README.md:74-96); forward-strand-only texts
-    # (two_contig_graph fixtures) contain only the even GBWT sequences.
-    if n_seq == gbz.index.sequences:
-        seq_map = list(range(n_seq))
-    elif 2 * n_seq == gbz.index.sequences:
-        seq_map = [2 * i for i in range(n_seq)]
-    else:
-        raise ValueError(f"text has {n_seq} sequences but GBWT has {gbz.index.sequences}")
-    per_seq = [path_tag_array(gbz, sid, seq_index) for sid in seq_map]
-    lengths = np.array([len(a) for a in per_seq], dtype=np.int64)
+    seq_map = text_seq_map(gbz, n_seq)
+    visits, vptr = gbz.index.table().extract_all(np.array(seq_map, np.int64))
+    vi, offs, nid, rev, vl = _expand_visits(gbz, visits)
+    flat = (nid[vi] << 11) | (rev[vi] << 10) | offs
+    # characters per text sequence = sum of node lengths over its visit span
+    cum_vl = np.concatenate(([0], np.cumsum(vl)))
+    lengths = cum_vl[vptr[1:]] - cum_vl[vptr[:-1]]
     expect = idx.seq_lengths - 1
     if not np.array_equal(lengths, expect):
         raise ValueError(f"path lengths {lengths} != BWT sequence lengths {expect}")
-    flat = np.concatenate(per_seq)
-    starts = np.zeros(n_seq, dtype=np.int64)
-    np.cumsum(lengths[:-1], out=starts[1:])
+    starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
     rows = np.arange(n_seq, idx.n)
     return flat[starts[idx.sa_seq[rows]] + idx.sa_pos[rows]]
 

@@ -141,6 +141,17 @@ class GBWT:
         e = int(self.record_starts[comp + 1]) if comp + 1 < len(self.record_starts) else len(self.bwt_data)
         return parse_record(self.bwt_data, s, e)
 
+    def table(self):
+        """Cached flat decoded-record table (formats/gbwt_table.RecordTable):
+        the array-program form of all records, used by every build phase."""
+        t = getattr(self, "_table", None)
+        if t is None:
+            from .gbwt_table import RecordTable
+
+            t = RecordTable.from_gbwt(self)
+            object.__setattr__(self, "_table", t)
+        return t
+
     def extract(self, seq_id: int) -> list[int]:
         """Node visits of sequence seq_id (gbwt::GBWT::extract). For a
         bidirectional GBWT, sequence 2p is path p forward, 2p+1 reverse

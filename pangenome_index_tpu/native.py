@@ -21,7 +21,7 @@ _lib = None
 
 
 def _build() -> bool:
-    srcs = [_SRC / "panindex_native.cpp", _SRC / "sais.cpp"]
+    srcs = [_SRC / "panindex_native.cpp", _SRC / "sais.cpp", _SRC / "gbwt_decode.cpp"]
     if not all(s.exists() for s in srcs):
         return False
     if _LIB.exists() and all(_LIB.stat().st_mtime >= s.stat().st_mtime for s in srcs):

@@ -34,6 +34,76 @@ def synth_haplotypes(base_len: int, n_haps: int, snp_rate: float = 0.002,
     return lines
 
 
+def synth_graph_gbz(base_len: int, n_haps: int, site_rate: float = 0.002,
+                    seed: int = 0, max_node_len: int = 1024):
+    """Synthetic pangenome GRAPH + matching haplotype texts: a backbone
+    segmented at shared variant sites (each site a 2-allele bubble), each
+    haplotype a path picking ref/alt per site. Returns (GBZ, lines) where
+    lines[h] is exactly the text spelled by GBZ path 2h (forward strand), so
+    `build-tags` over an r-index of `lines` exercises the full pipeline at
+    scale. Node lengths are capped at max_node_len (the tag packing carries a
+    10-bit in-node offset)."""
+    from ..core.gbwt_build import gbz_from_graph
+
+    rng = np.random.default_rng(seed)
+    alphabet = np.frombuffer(b"ACGT", np.uint8)
+    base = alphabet[rng.integers(0, 4, base_len)]
+    n_sites = int(rng.binomial(base_len, site_rate))
+    site_pos = np.sort(rng.choice(base_len, size=n_sites, replace=False))
+    ref = base[site_pos]
+    alt = alphabet[(np.searchsorted(alphabet, ref) + rng.integers(1, 4, n_sites)) % 4]
+    hap_alt = rng.random((n_haps, n_sites)) < 0.5
+
+    # backbone gaps between sites, split into <= max_node_len chunks
+    gap_start = np.concatenate(([0], site_pos + 1))
+    gap_end = np.concatenate((site_pos, [base_len]))
+    gap_len = gap_end - gap_start
+    chunks_per_gap = -(-gap_len // max_node_len)  # ceil; 0 for empty gaps
+
+    # node ids in genomic order: gap g's chunks, then site g's (ref, alt)
+    ids_per_gap = chunks_per_gap + 2                # last gap has no site
+    ids_per_gap[-1] -= 2
+    gap_id0 = np.concatenate(([1], 1 + np.cumsum(ids_per_gap)))[:-1]
+
+    node_seqs: dict[int, bytes] = {}
+    skeleton: list[np.ndarray] = []
+    site_slot = np.zeros(n_sites, np.int64)       # skeleton index of site g
+    ref_id = np.zeros(n_sites, np.int64)
+    pos = 0
+    for g in range(n_sites + 1):
+        nid = int(gap_id0[g])
+        s, e = int(gap_start[g]), int(gap_end[g])
+        ck = int(chunks_per_gap[g])
+        for c in range(ck):
+            a = s + c * max_node_len
+            node_seqs[nid + c] = base[a:min(a + max_node_len, e)].tobytes()
+        if ck:
+            skeleton.append(np.arange(nid, nid + ck, dtype=np.int64))
+            pos += ck
+        if g < n_sites:
+            node_seqs[nid + ck] = bytes([int(ref[g])])
+            node_seqs[nid + ck + 1] = bytes([int(alt[g])])
+            ref_id[g] = nid + ck
+            site_slot[g] = pos
+            skeleton.append(np.array([nid + ck], np.int64))
+            pos += 1
+    skel = np.concatenate(skeleton) if skeleton else np.zeros(0, np.int64)
+
+    paths: list[np.ndarray] = []
+    lines: list[bytes] = []
+    for h in range(n_haps):
+        p = skel.copy()
+        p[site_slot] = ref_id + hap_alt[h]
+        fwd = 2 * p
+        paths.append(fwd)
+        paths.append((fwd ^ 1)[::-1])             # reverse orientation
+        line = base.copy()
+        m = hap_alt[h]
+        line[site_pos[m]] = alt[m]
+        lines.append(line.tobytes())
+    return gbz_from_graph(node_seqs, paths), lines
+
+
 def synth_reads(lines: list[bytes], n_reads: int, read_len: int,
                 error_rate: float = 0.01, seed: int = 1) -> list[bytes]:
     rng = np.random.default_rng(seed)

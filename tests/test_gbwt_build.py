@@ -84,3 +84,25 @@ def test_random_gbz_file_round_trip(tmp_path):
     back = load_gbz(tmp_path / "synth.gbz")
     for i in range(g.index.sequences):
         assert back.index.extract(i) == g.index.extract(i)
+
+
+def test_native_encoder_matches_python_fallback(monkeypatch):
+    """gbwt_from_paths emits identical bytes through the native record
+    encoder (src/cpp/gbwt_decode.cpp) and the per-record Python fallback."""
+    import numpy as np
+
+    from pangenome_index_tpu import native
+    from pangenome_index_tpu.core import gbwt_build
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    gbz = gbwt_build.random_pangenome_gbz(rng, n_nodes=60, n_paths=4)
+    paths = [gbz.index.extract(s) for s in range(gbz.index.sequences)]
+    g_native = gbwt_build.gbwt_from_paths(paths)
+    monkeypatch.setattr(gbwt_build, "_encode_records_native", lambda *a: None)
+    g_py = gbwt_build.gbwt_from_paths(paths)
+    assert g_native.bwt_data == g_py.bwt_data
+    assert np.array_equal(g_native.record_starts, g_py.record_starts)
