@@ -9,7 +9,8 @@ src/find_mems.cpp). vs_baseline is the speedup over the single-thread native
 C++ engine (src/cpp) running the same algorithm on the same data.
 
 Index build artifacts are cached under .bench_cache/ (first run pays the
-oracle BWT construction).
+oracle BWT construction). examples/serve_scale_bench.py reuses serve_measure/
+native_baseline for the 20-100 Mbp scale series (PERF.md).
 """
 
 import json
@@ -25,18 +26,20 @@ BASE_LEN = 500_000       # 4 Mbp total; auto-upgraded to 20 Mbp when cached
 BIG_BASE_LEN = 2_500_000
 BIG_SEED = 3
 N_HAPS = 8
-N_READS = 16384  # 4 work-sorted chunks of CHUNK lanes
+N_READS = 16384  # work-sorted chunks of CHUNK lanes
 READ_LEN = 150
 MIN_LEN = 20
 MIN_OCC = 1
 BASELINE_READS = 24
+MER_M = 12
+CHUNK = 8192  # lanes per launch (v5e optimum with checkpoint rank)
 
 
-def main():
+def setup_compilation_cache():
+    """Persistent XLA compile cache: repeat runs skip the (tunnel-exposed)
+    compile round-trips for the MEM engine and the mer-table build."""
     import jax
 
-    # persistent XLA compilation cache: repeat runs skip the (tunnel-exposed)
-    # compile round-trips for the MEM engine and the on-device mer-table build
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache", "xla_cache")
     try:
@@ -45,13 +48,184 @@ def main():
     except Exception:
         pass
 
+
+def encode_reads(reads, n_reads, read_len):
+    from pangenome_index_tpu.utils.alphabet import BYTE_TO_CODE
+
+    codes = np.zeros((n_reads, read_len), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, :] = BYTE_TO_CODE[np.frombuffer(r, np.uint8)]
+    return codes, np.full(n_reads, read_len, np.int32)
+
+
+def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
+                  chunk=CHUNK, mer_m=MER_M, iters=3, measure_ext=True,
+                  mer_cache_dir=None, log=lambda s: print(s, file=sys.stderr)):
+    """Full device serving measurement on one chip: checkpoint-rank tables,
+    on-device m-mer seed table, work-sorted chunking. Returns a dict with
+    reads/s, LF-steps/s, and the per-read MEM counts (for cross-checks)."""
+    import jax
     import jax.numpy as jnp
 
-    from pangenome_index_tpu.models.mems import find_all_mems
     from pangenome_index_tpu.ops.mems import find_mems_batch
+    from pangenome_index_tpu.ops.mertable import (build_mer_table_device,
+                                                  mer_table_key, read_mer_keys,
+                                                  seed_difficulty)
     from pangenome_index_tpu.ops.tables import rindex_to_device
-    from pangenome_index_tpu.utils.alphabet import BYTE_TO_CODE
+
+    n_reads = len(codes)
+    dev = jax.devices()[0]
+    log(f"[bench] device: {dev}")
+    # checkpoint tables: ONE 64B gather per rank6 query (see ops/tables.py);
+    # measured 6.3x the dense mode's extension rate on v5e (PERF.md round 2)
+    t = jax.device_put(rindex_to_device(idx, checkpoint=True), dev)
+
+    # m-mer seed table (skips the first m extensions of MEM steps 1 and 3).
+    # Device execution is ~1.5s but the builder's XLA compile is 90s+ per
+    # process (the persistent compile cache does not hold under the axon
+    # backend), so the table is persisted next to the bench cache - a pure
+    # function of (index, m) - and loaded through one ~7s device_put
+    # (the production engines do the same, cli.py find-mems).
+    t0 = time.perf_counter()
+    mer_table = None
+    cache_path = None
+    if mer_cache_dir is not None:
+        cache_path = os.path.join(mer_cache_dir, f"mer_{mer_table_key(idx, mer_m)}.npz")
+        try:
+            with np.load(cache_path, allow_pickle=False) as z:
+                mer_table = jax.device_put(jnp.asarray(z["table"]), dev)
+            log(f"[bench] mer table m={mer_m} loaded from cache")
+        except FileNotFoundError:
+            pass
+    if mer_table is None:
+        mer_table = build_mer_table_device(t, mer_m)
+        if cache_path is not None:
+            host = np.asarray(mer_table)
+            tmp = f"{cache_path}.tmp{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                np.savez(fh, table=host)
+            os.replace(tmp, cache_path)
+    np.asarray(mer_table[:4])  # host fetch = real sync (block_until_ready is
+    # a no-op under the axon backend), so the timing covers the device work
+    mk, mv = read_mer_keys(codes, lens, mer_m)
+    mer_keys = jax.device_put(jnp.asarray(mk), dev)
+    mer_valid = jax.device_put(jnp.asarray(mv), dev)
+    log(f"[bench] mer table m={mer_m} ready in {time.perf_counter()-t0:.1f}s")
+
+    # work-sorted chunking: order reads by the seed-table difficulty proxy so
+    # each lockstep chunk is work-homogeneous (results are inverse-permuted
+    # back, so output order is unchanged); every array crosses the tunnel once
+    proxy = np.asarray(seed_difficulty(mer_table, mer_keys, mer_valid, min_occ,
+                                       lengths=jnp.asarray(lens), m=mer_m))
+    order = np.argsort(proxy, kind="stable")
+    order_d = jax.device_put(jnp.asarray(order), dev)
+    codes_d = jax.device_put(jnp.asarray(codes[order]), dev)
+    lens_d = jax.device_put(jnp.asarray(lens[order]), dev)
+    mer_kw = dict(mer_table=mer_table, mer_keys=mer_keys[order_d],
+                  mer_valid=mer_valid[order_d], mer_m=mer_m)
+
+    def run_all():
+        counts = []
+        for s in range(0, n_reads, chunk):
+            kw = {k: (v[s : s + chunk] if k in ("mer_keys", "mer_valid") else v)
+                  for k, v in mer_kw.items()}
+            res = find_mems_batch(t, codes_d[s : s + chunk], lens_d[s : s + chunk],
+                                  min_len, min_occ, capacity=32, **kw)
+            counts.append(np.asarray(res.count))  # host fetch = real sync
+        out = np.empty(n_reads, np.int32)
+        out[order] = np.concatenate(counts)  # back to input read order
+        return out
+
+    t0 = time.perf_counter()
+    all_counts = run_all()
+    total_mems = int(all_counts.sum())
+    log(f"[bench] compile+first run: {time.perf_counter()-t0:.1f}s, {total_mems} MEMs")
+
+    profile_dir = os.environ.get("PANIDX_PROFILE_DIR")
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            run_all()
+        log(f"[bench] profiler trace written to {profile_dir}")
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        all_counts = run_all()
+    dt = (time.perf_counter() - t0) / iters
+    device_rps = n_reads / dt
+    log(f"[bench] device: {dt*1e3:.1f} ms/batch -> {device_rps:.0f} reads/s")
+
+    ext_rate = 0.0
+    if measure_ext:
+        ext_rate = measure_ext_rate(t, idx.n)
+        log(f"[bench] LF/extension steps: {ext_rate/1e6:.1f} M/s "
+            f"(each = 2 six-symbol rank queries)")
+    return dict(device_rps=device_rps, ext_rate=ext_rate, counts=all_counts,
+                total_mems=total_mems)
+
+
+def measure_ext_rate(t, n, lanes=4096):
+    """LF-steps/s (the BASELINE.json inner-loop metric): fixed-iteration
+    extension loop, all lanes always active."""
+    import jax
+    import jax.numpy as jnp
+
+    from pangenome_index_tpu.ops import fmd
+
+    @jax.jit
+    def ext_loop(t, k, kp, s, c, iters2):
+        def body(i, st):
+            k, kp, s = st
+            nk, nkp, ns = fmd.extend(t, k, kp, s, (c + i) % 5 + 1)
+            empty = ns <= 0
+            return (jnp.where(empty, 0, nk), jnp.where(empty, 0, nkp),
+                    jnp.where(empty, t.n, ns))
+        k, kp, s = jax.lax.fori_loop(0, iters2, body, (k, kp, s))
+        return k.sum() + kp.sum() + s.sum()
+
+    kz = jnp.zeros(lanes, t.run_start.dtype)
+    sz = jnp.full(lanes, n, t.run_start.dtype)
+    cz = jnp.zeros(lanes, jnp.int32)
+    float(ext_loop(t, kz, kz, sz, cz, 100))
+    t0 = time.perf_counter()
+    float(ext_loop(t, kz, kz, sz, cz, 1100))
+    d1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(ext_loop(t, kz, kz, sz, cz, 100))
+    d0 = time.perf_counter() - t0
+    return lanes * 1000 / max(d1 - d0, 1e-9)
+
+
+def native_baseline(idx, codes, lens, counts=None, n_threads=1, nb=256,
+                    min_len=MIN_LEN, min_occ=MIN_OCC,
+                    log=lambda s: print(s, file=sys.stderr)):
+    """Native C++ engine baseline on a read subset; cross-checks MEM counts
+    against the device result when provided. Returns reads/s."""
+    from pangenome_index_tpu import native
+
+    nb = min(len(codes), nb)
+    t0 = time.perf_counter()
+    s, e, b, z, cnt = native.find_mems_native(
+        idx, codes[:nb], lens[:nb], min_len, min_occ, capacity=32,
+        n_threads=n_threads)
+    host_dt = time.perf_counter() - t0
+    host_rps = nb / host_dt
+    log(f"[bench] native C++ {n_threads}-thread baseline: {host_rps:.1f} reads/s "
+        f"({int(cnt.sum())} MEMs on subset)")
+    if counts is not None and not np.array_equal(cnt, counts[:nb]):
+        log("[bench] WARNING: native/device MEM count mismatch")
+    return host_rps
+
+
+def main():
+    import jax
+
+    setup_compilation_cache()
+
+    from pangenome_index_tpu.models.mems import find_all_mems
     from pangenome_index_tpu.utils.synth import build_synth_index, synth_reads
+    from pangenome_index_tpu import native
 
     import hashlib
     import pathlib
@@ -70,134 +244,15 @@ def main():
           file=sys.stderr)
 
     reads = synth_reads(lines, N_READS, READ_LEN, error_rate=0.01, seed=1)
-    codes = np.zeros((N_READS, READ_LEN), np.int32)
-    for i, r in enumerate(reads):
-        codes[i, :] = BYTE_TO_CODE[np.frombuffer(r, np.uint8)]
-    lens = np.full(N_READS, READ_LEN, np.int32)
+    codes, lens = encode_reads(reads, N_READS, READ_LEN)
 
-    dev = jax.devices()[0]
-    print(f"[bench] device: {dev}", file=sys.stderr)
-    # checkpoint tables: ONE 64B gather per rank6 query (see ops/tables.py);
-    # measured 6.3x the dense mode's extension rate on v5e (PERF.md round 2)
-    t = jax.device_put(rindex_to_device(idx, checkpoint=True), dev)
-
-    # m-mer seed table (skips the first m extensions of MEM steps 1 and 3),
-    # built on device: the expansion is itself batched extension, and at m=12
-    # it avoids both a ~100 s host build and a 200 MB host->HBM transfer
-    from pangenome_index_tpu.ops.mertable import build_mer_table_device, read_mer_keys
-
-    MER_M = 12
-    t0 = time.perf_counter()
-    mer_table = build_mer_table_device(t, MER_M)
-    np.asarray(mer_table[:4])  # host fetch = real sync (block_until_ready is
-    # a no-op under the axon backend), so the timing covers the device work
-    mk, mv = read_mer_keys(codes, lens, MER_M)
-    mer_keys = jax.device_put(jnp.asarray(mk), dev)
-    mer_valid = jax.device_put(jnp.asarray(mv), dev)
-    print(f"[bench] mer table m={MER_M} built in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-
-    # work-sorted chunking: order reads by the seed-table difficulty proxy so
-    # each lockstep chunk is work-homogeneous (results are inverse-permuted
-    # back, so output order is unchanged). The proxy runs on device against
-    # the device-resident table; the permutation of the already-uploaded
-    # mer arrays is a device-side take, so every array crosses the
-    # (latency-exposed) tunnel exactly once.
-    from pangenome_index_tpu.ops.mertable import seed_difficulty
-
-    proxy = np.asarray(seed_difficulty(mer_table, mer_keys, mer_valid, MIN_OCC,
-                                       lengths=jnp.asarray(lens), m=MER_M))
-    order = np.argsort(proxy, kind="stable")
-    order_d = jax.device_put(jnp.asarray(order), dev)
-    codes_d = jax.device_put(jnp.asarray(codes[order]), dev)
-    lens_d = jax.device_put(jnp.asarray(lens[order]), dev)
-    mer_kw = dict(mer_table=mer_table, mer_keys=mer_keys[order_d],
-                  mer_valid=mer_valid[order_d], mer_m=MER_M)
-
-    # lanes per launch (measured optimum 8192 on v5e with checkpoint rank;
-    # the 4096 optimum of the gather-bound dense mode no longer applies)
-    CHUNK = 8192
-
-    def run_all():
-        counts = []
-        for s in range(0, N_READS, CHUNK):
-            kw = {k: (v[s : s + CHUNK] if k in ("mer_keys", "mer_valid") else v)
-                  for k, v in mer_kw.items()}
-            res = find_mems_batch(t, codes_d[s : s + CHUNK], lens_d[s : s + CHUNK],
-                                  MIN_LEN, MIN_OCC, capacity=32, **kw)
-            counts.append(np.asarray(res.count))  # host fetch = real sync
-        out = np.empty(N_READS, np.int32)
-        out[order] = np.concatenate(counts)  # back to input read order
-        return out
-
-    # warmup / compile. NOTE: jax.block_until_ready does not synchronize under
-    # the axon remote backend - force a host fetch to time real execution.
-    t0 = time.perf_counter()
-    all_counts = run_all()
-    total_mems = int(all_counts.sum())
-    compile_s = time.perf_counter() - t0
-    print(f"[bench] compile+first run: {compile_s:.1f}s, {total_mems} MEMs", file=sys.stderr)
-
-    profile_dir = os.environ.get("PANIDX_PROFILE_DIR")
-    if profile_dir:
-        with jax.profiler.trace(profile_dir):
-            run_all()
-        print(f"[bench] profiler trace written to {profile_dir}", file=sys.stderr)
-
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        all_counts = run_all()
-    dt = (time.perf_counter() - t0) / iters
-    device_rps = N_READS / dt
-    print(f"[bench] device: {dt*1e3:.1f} ms/batch -> {device_rps:.0f} reads/s", file=sys.stderr)
-
-    # LF-steps/s (the BASELINE.json inner-loop metric): fixed-iteration
-    # extension loop, all lanes always active
-    import jax.numpy as jnp_
-    from pangenome_index_tpu.ops import fmd
-
-    @jax.jit
-    def ext_loop(t, k, kp, s, c, iters2):
-        def body(i, st):
-            k, kp, s = st
-            nk, nkp, ns = fmd.extend(t, k, kp, s, (c + i) % 5 + 1)
-            empty = ns <= 0
-            return (jnp_.where(empty, 0, nk), jnp_.where(empty, 0, nkp),
-                    jnp_.where(empty, t.n, ns))
-        k, kp, s = jax.lax.fori_loop(0, iters2, body, (k, kp, s))
-        return k.sum() + kp.sum() + s.sum()
-
-    Bx = 4096
-    kz = jnp.zeros(Bx, t.run_start.dtype)
-    sz = jnp.full(Bx, idx.n, t.run_start.dtype)
-    cz = jnp.zeros(Bx, jnp.int32)
-    float(ext_loop(t, kz, kz, sz, cz, 100))
-    t0 = time.perf_counter()
-    float(ext_loop(t, kz, kz, sz, cz, 1100))
-    d1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(ext_loop(t, kz, kz, sz, cz, 100))
-    d0 = time.perf_counter() - t0
-    ext_rate = Bx * 1000 / max(d1 - d0, 1e-9)
-    print(f"[bench] LF/extension steps: {ext_rate/1e6:.1f} M/s "
-          f"(each = 2 six-symbol rank queries)", file=sys.stderr)
+    m = serve_measure(idx, codes, lens, mer_cache_dir=cache)
+    device_rps = m["device_rps"]
 
     # CPU baseline: native C++ engine (single thread - the per-core baseline;
     # the reference's deployment is one process per chromosome with OpenMP)
-    from pangenome_index_tpu import native
-
     if native.available():
-        nb = min(N_READS, 256)
-        t0 = time.perf_counter()
-        s, e, b, z, cnt = native.find_mems_native(
-            idx, codes[:nb], lens[:nb], MIN_LEN, MIN_OCC, capacity=32, n_threads=1)
-        host_dt = time.perf_counter() - t0
-        host_rps = nb / host_dt
-        print(f"[bench] native C++ 1-thread baseline: {host_rps:.1f} reads/s "
-              f"({int(cnt.sum())} MEMs on subset)", file=sys.stderr)
-        # sanity: native MEM counts equal device counts on the subset
-        if not np.array_equal(cnt, all_counts[:nb]):
-            print("[bench] WARNING: native/device MEM count mismatch", file=sys.stderr)
+        host_rps = native_baseline(idx, codes, lens, m["counts"], n_threads=1)
     else:
         t0 = time.perf_counter()
         host_mems = 0

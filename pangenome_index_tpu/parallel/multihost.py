@@ -58,3 +58,35 @@ def global_read_batch(mesh: Mesh, local_codes: np.ndarray, local_lengths: np.nda
     codes = jax.make_array_from_process_local_data(sharding, local_codes)
     lengths = jax.make_array_from_process_local_data(lsharding, local_lengths)
     return codes, lengths
+
+
+def stitch_rle_shards(shards: list[tuple[np.ndarray, np.ndarray]]
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Merge per-host RLE outputs over consecutive row ranges into one global
+    run list: when a shard's first run continues the previous shard's last run
+    (equal value), the lengths are summed - the cross-host boundary fix-up of
+    the distributed merge (each host ships only its run list; the reference's
+    equivalent is the sequential first-run fix-up at merge_tags.cpp:640-684).
+    Empty shards (hosts whose row range was empty) are skipped."""
+    vals_out: list[np.ndarray] = []
+    lens_out: list[np.ndarray] = []
+    prev_val, prev_len = None, 0
+    for vals, lens in shards:
+        if len(vals) == 0:
+            continue
+        lens = np.asarray(lens, np.int64)
+        if prev_val is not None and vals[0] == prev_val:
+            lens = lens.copy()
+            lens[0] += prev_len
+        elif prev_val is not None:
+            vals_out.append(np.array([prev_val], np.int64))
+            lens_out.append(np.array([prev_len], np.int64))
+        vals_out.append(np.asarray(vals[:-1], np.int64))
+        lens_out.append(lens[:-1])
+        prev_val, prev_len = int(vals[-1]), int(lens[-1])
+    if prev_val is not None:
+        vals_out.append(np.array([prev_val], np.int64))
+        lens_out.append(np.array([prev_len], np.int64))
+    if not vals_out:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(vals_out), np.concatenate(lens_out)

@@ -24,3 +24,28 @@ def test_global_batch_assembly():
     gc, gl = global_read_batch(mesh, codes, lens)
     np.testing.assert_array_equal(np.asarray(gc), codes)
     np.testing.assert_array_equal(np.asarray(gl), lens)
+
+
+def test_stitch_rle_shards_equals_global_rle():
+    """Sharded RLE + boundary stitch == RLE of the whole row array, for
+    random splits including empty shards and runs spanning whole shards."""
+    from pangenome_index_tpu.core.tagbuild import rle
+    from pangenome_index_tpu.parallel.multihost import stitch_rle_shards
+
+    rng = np.random.default_rng(3)
+    values = rng.integers(0, 4, 500).astype(np.int64)
+    want_v, want_l = rle(values)
+    for trial in range(20):
+        cuts = np.sort(rng.integers(0, len(values) + 1, size=rng.integers(1, 8)))
+        bounds = [0, *cuts.tolist(), len(values)]
+        shards = [rle(values[a:b]) for a, b in zip(bounds[:-1], bounds[1:])]
+        got_v, got_l = stitch_rle_shards(shards)
+        np.testing.assert_array_equal(got_v, want_v)
+        np.testing.assert_array_equal(got_l, want_l)
+
+
+def test_stitch_rle_shards_empty():
+    from pangenome_index_tpu.parallel.multihost import stitch_rle_shards
+
+    v, l = stitch_rle_shards([])
+    assert len(v) == 0 and len(l) == 0
