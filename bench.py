@@ -125,13 +125,17 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                   mer_valid=mer_valid[order_d], mer_m=mer_m)
 
     def run_all():
-        counts = []
+        pending = []
         for s in range(0, n_reads, chunk):
             kw = {k: (v[s : s + chunk] if k in ("mer_keys", "mer_valid") else v)
                   for k, v in mer_kw.items()}
-            res = find_mems_batch(t, codes_d[s : s + chunk], lens_d[s : s + chunk],
-                                  min_len, min_occ, capacity=32, **kw)
-            counts.append(np.asarray(res.count))  # host fetch = real sync
+            pending.append(find_mems_batch(
+                t, codes_d[s : s + chunk], lens_d[s : s + chunk],
+                min_len, min_occ, capacity=32, **kw))
+        # dispatch every chunk before the first host fetch: jax dispatch is
+        # async, so the chunks queue back-to-back on the device instead of
+        # paying one tunnel round-trip of idle time between chunks
+        counts = [np.asarray(res.count) for res in pending]  # fetch = real sync
         out = np.empty(n_reads, np.int32)
         out[order] = np.concatenate(counts)  # back to input read order
         return out
@@ -231,11 +235,11 @@ def main():
     import pathlib
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
-    # PANIDX_BENCH_BIG=1 selects the 20 Mbp workload (see PERF.md for its
-    # measured numbers); default is 4 Mbp - the ~190MB of 20 Mbp table
-    # transfers are too exposed to tunnel-latency variance for a timed run
+    # the 20 Mbp workload is the default once its index is cached (the
+    # persisted mer table keeps cold-start in seconds, so the bigger config
+    # fits the timed budget); PANIDX_BENCH_BIG=0 forces the 4 Mbp config
     big_key = hashlib.sha1(f"{BIG_BASE_LEN}-{N_HAPS}-0.002-{BIG_SEED}-v1".encode()).hexdigest()[:16]
-    use_big = os.environ.get("PANIDX_BENCH_BIG") == "1" and pathlib.Path(
+    use_big = os.environ.get("PANIDX_BENCH_BIG", "1") != "0" and pathlib.Path(
         cache, f"synth_{big_key}.npz").exists()
     base_len, seed = (BIG_BASE_LEN, BIG_SEED) if use_big else (BASE_LEN, 0)
     t0 = time.perf_counter()
@@ -280,8 +284,10 @@ def orchestrate():
     here = os.path.abspath(__file__)
     attempts = [
         (dict(os.environ), 480, "tpu"),
-        ({**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"},
-         420, "cpu-fallback"),
+        # fallback pins the small config: XLA-CPU at 20 Mbp would blow the
+        # remaining budget and leave no result at all
+        ({**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+          "PANIDX_BENCH_BIG": "0"}, 420, "cpu-fallback"),
     ]
     for env, tmo, label in attempts:
         try:

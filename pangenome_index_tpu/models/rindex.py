@@ -140,15 +140,21 @@ class RIndex:
         return self.samples[run] + (prev - self.last_sorted[idx])
 
     def decompress_sa(self) -> np.ndarray:
-        """SA in packed coords via chained locateNext (r-index.cpp:1345-1356)."""
+        """SA in packed coords for every row (r-index.cpp:1345-1356 chains
+        locateNext row by row; here lanes = runs and each lane walks its own
+        run via locateNext, so the wall time is max run length batches of
+        vectorized work, not n scalar steps)."""
         out = np.zeros(self.n, dtype=np.int64)
-        out[0] = self.locate_first()
-        # vectorize the phi-inverse chain: process all rows by peeling runs of
-        # +1 steps; fall back to the scalar chain (correct, O(n)).
-        prev = out[0]
-        for i in range(1, self.n):
-            prev = int(self.locate_next(prev))
-            out[i] = prev
+        cur = self.samples.copy()
+        lens = self.run_len
+        active = np.ones(self.n_runs, dtype=bool)
+        t = 0
+        while active.any():
+            out[self.run_start[active] + t] = cur[active]
+            t += 1
+            active = active & (lens > t)
+            if active.any():
+                cur[active] = self.locate_next(cur[active])
         return out
 
     def decompress_da(self) -> np.ndarray:
