@@ -32,7 +32,10 @@ MIN_LEN = 20
 MIN_OCC = 1
 BASELINE_READS = 24
 MER_M = 12
-CHUNK = 8192  # lanes per launch (v5e optimum with checkpoint rank)
+# lanes per launch: with async chunk dispatch, 4096 wins at every scale in
+# within-run sweeps (work homogeneity beats more rows in flight; the
+# checkpoint-era 8192 optimum predated async dispatch)
+CHUNK = 4096
 
 
 def setup_compilation_cache():
@@ -284,10 +287,13 @@ def orchestrate():
     here = os.path.abspath(__file__)
     attempts = [
         (dict(os.environ), 480, "tpu"),
+        # tunnel stalls are transient and all caches are warm after attempt
+        # one, so a short TPU retry usually lands (~60-120s warm)
+        (dict(os.environ), 300, "tpu-retry"),
         # fallback pins the small config: XLA-CPU at 20 Mbp would blow the
         # remaining budget and leave no result at all
         ({**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
-          "PANIDX_BENCH_BIG": "0"}, 420, "cpu-fallback"),
+          "PANIDX_BENCH_BIG": "0"}, 300, "cpu-fallback"),
     ]
     for env, tmo, label in attempts:
         try:
@@ -299,7 +305,7 @@ def orchestrate():
         sys.stderr.write(r.stderr.decode(errors="replace"))
         out = r.stdout.decode(errors="replace").strip().splitlines()
         if r.returncode == 0 and out and out[-1].startswith("{"):
-            if label != "tpu":
+            if label == "cpu-fallback":
                 rec = json.loads(out[-1])
                 rec["unit"] += f" [{label}]"
                 print(json.dumps(rec))

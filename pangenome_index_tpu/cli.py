@@ -233,15 +233,16 @@ def cmd_find_mems(args) -> int:
             codes, lens = codes[order], lens[order]
             mer_kw["mer_keys"] = jnp.asarray(mk[order])
             mer_kw["mer_valid"] = jnp.asarray(mv[order])
-        parts = []
+        pending = []
         for s0 in range(0, len(reads), B):
             kw = {k: (v[s0 : s0 + B] if k in ("mer_keys", "mer_valid") else v)
                   for k, v in mer_kw.items()}
-            r = find_mems_batch(t, jnp.asarray(codes[s0 : s0 + B]),
-                                jnp.asarray(lens[s0 : s0 + B]),
-                                args.min_len, args.min_occ,
-                                capacity=args.mem_capacity, **kw)
-            parts.append([np.array(a) for a in r])  # writable (overflow fix-ups)
+            pending.append(find_mems_batch(
+                t, jnp.asarray(codes[s0 : s0 + B]), jnp.asarray(lens[s0 : s0 + B]),
+                args.min_len, args.min_occ, capacity=args.mem_capacity, **kw))
+        # every chunk is dispatched before the first fetch: chunks queue
+        # back-to-back on the device (jax dispatch is async), no idle gap
+        parts = [[np.array(a) for a in r] for r in pending]  # writable copies
         res = [np.concatenate([p[i] for p in parts]) for i in range(6)]
         if not np.array_equal(order, np.arange(len(reads))):
             inv = np.empty_like(order)
