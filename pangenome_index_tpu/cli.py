@@ -63,7 +63,7 @@ def _load_serving(args):
     print("Reading the rindex file (encoded)", file=sys.stderr)
     idx = ri.load_file(args.ri)
     print("Reading the tag array index", file=sys.stderr)
-    tags = tagfmt.load_tags_file(args.tags)
+    tags = tagfmt.load_tags_file(args.tags, fmt=getattr(args, "tags_format", "auto"))
     return idx, tags
 
 
@@ -543,6 +543,12 @@ def main(argv=None) -> int:
                                 "64B gather per rank6 query - the fastest, "
                                 "see PERF.md)")
         q.add_argument("--engine", choices=["device", "host", "native"], default="device")
+        q.add_argument("--tags-format", default="auto",
+                       choices=["auto", "algorithm", "sdsl", "bytecode",
+                                "bytecode-compact"],
+                       help="tag container format (the on-disk formats carry "
+                            "no magic; auto-detection is structural and can "
+                            "be overridden for ambiguous payloads)")
         q.set_defaults(fn=fn)
 
     s = sub.add_parser("print-stats")

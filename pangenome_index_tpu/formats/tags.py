@@ -223,8 +223,29 @@ def _sniff(data: bytes) -> str:
     return "bytecode"
 
 
-def load_tags(data: bytes) -> TagArray:
-    """Auto-detect the format (algorithm container, compressed 2 or 3)."""
+def load_tags(data: bytes, fmt: str = "auto") -> TagArray:
+    """Load a .tags payload. fmt='auto' (default) detects the container
+    (algorithm / compressed-sdsl / compressed-bytecode) by structural
+    arithmetic — the reference's formats carry no magic, the binaries know
+    the format from which tool produced the file — with an explicit override
+    for the pathological payload that parses as more than one format:
+    'algorithm' | 'sdsl' | 'bytecode' (full values) | 'bytecode-compact'."""
+    if fmt != "auto":
+        if fmt == "algorithm":
+            return read_algorithm(data)
+        if fmt == "sdsl":
+            return read_compressed_sdsl(data)
+        if fmt in ("bytecode", "bytecode-compact"):
+            buf = io.BytesIO(data)
+            nbytes = sdsl.read_u64(buf)
+            values = bytecode.decode_stream(buf.read(nbytes))
+            sdsl.read_sd_vector(buf)
+            intervals = sdsl.read_sd_vector(buf)
+            if fmt == "bytecode":
+                pos_full, _ = decode_full(values)
+                return _finish(pos_full, intervals)
+            return _finish(values, intervals)
+        raise ValueError(f"unknown tags format {fmt!r}")
     kind = _sniff(data)
     if kind == "algorithm":
         # [u64 bit_count][payload padded to words], nothing after - the
@@ -241,12 +262,12 @@ def load_tags(data: bytes) -> TagArray:
     return read_compressed_bytecode(data)
 
 
-def load_tags_file(path, use_mmap: bool = False) -> TagArray:
+def load_tags_file(path, use_mmap: bool = False, fmt: str = "auto") -> TagArray:
     if use_mmap:
         import mmap as _mmap
 
         with open(path, "rb") as fh:
             with _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ) as mm:
-                return load_tags(bytes(mm))
+                return load_tags(bytes(mm), fmt=fmt)
     with open(path, "rb") as fh:
-        return load_tags(fh.read())
+        return load_tags(fh.read(), fmt=fmt)
