@@ -143,6 +143,28 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
         out[order] = np.concatenate(counts)  # back to input read order
         return out
 
+    if chunk is None:
+        # measurement autotune: the lane optimum is workload-dependent
+        # (shallow-hap configs want 4096, the deep-hap config wants 8192 -
+        # PERF.md), so race the candidates on the first reads and keep the
+        # winner. Costs two small warm launches; compile is shared with the
+        # main run when a candidate wins.
+        best, best_dt = None, None
+        for cand in (4096, 8192):
+            sub = min(cand, n_reads)
+            kw = {k: (v[:sub] if k in ("mer_keys", "mer_valid") else v)
+                  for k, v in mer_kw.items()}
+            np.asarray(find_mems_batch(t, codes_d[:sub], lens_d[:sub], min_len,
+                                       min_occ, capacity=32, **kw).count)  # compile
+            t0 = time.perf_counter()
+            np.asarray(find_mems_batch(t, codes_d[:sub], lens_d[:sub], min_len,
+                                       min_occ, capacity=32, **kw).count)
+            dt = (time.perf_counter() - t0) / sub
+            log(f"[bench] autotune chunk={cand}: {1/dt:.0f} reads/s")
+            if best_dt is None or dt < best_dt:
+                best, best_dt = cand, dt
+        chunk = best
+
     t0 = time.perf_counter()
     all_counts = run_all()
     total_mems = int(all_counts.sum())

@@ -220,6 +220,28 @@ def cmd_find_mems(args) -> int:
                           mer_valid=jnp.asarray(mv), mer_m=args.mer_len)
         tm = time.perf_counter()
         B = args.batch_size
+        if B == 0 and len(reads) > 4096:
+            # measurement autotune (PERF.md: the lane optimum is
+            # workload-dependent): race the candidates on the first reads
+            best, best_dt = None, None
+            for cand in (4096, 8192):
+                sub = min(cand, len(reads))
+                kw = {k: (v[:sub] if k in ("mer_keys", "mer_valid") else v)
+                      for k, v in mer_kw.items()}
+                args_bc = (t, jnp.asarray(codes[:sub]), jnp.asarray(lens[:sub]),
+                           args.min_len, args.min_occ)
+                np.asarray(find_mems_batch(*args_bc, capacity=args.mem_capacity,
+                                           **kw).count)  # compile
+                t1 = time.perf_counter()
+                np.asarray(find_mems_batch(*args_bc, capacity=args.mem_capacity,
+                                           **kw).count)
+                dt = (time.perf_counter() - t1) / sub
+                if best_dt is None or dt < best_dt:
+                    best, best_dt = cand, dt
+            B = best
+            print(f"autotuned batch size: {B}", file=sys.stderr)
+        elif B == 0:
+            B = 4096
         # work-sorted chunking: with multiple chunks, order reads by the
         # seed-table difficulty proxy so each lockstep chunk is
         # work-homogeneous; results are inverse-permuted back below
@@ -532,7 +554,8 @@ def main(argv=None) -> int:
             q.add_argument("--no-mer-cache", action="store_true",
                            help="do not persist the seed table next to the index")
             q.add_argument("--batch-size", type=int, default=2048,
-                           help="device lanes per launch (straggler optimum)")
+                           help="device lanes per launch (0 = measure-and-pick "
+                                "between 4096/8192 on the first reads)")
             q.add_argument("--mesh", default=None, metavar="DATAxMODEL",
                            help="serve over a (data x model) device mesh, "
                                 "e.g. 4x2: reads data-sharded, run table "

@@ -105,3 +105,15 @@ def test_visits_text_and_tags_match_scalar(gbz):
             ln = len(want) and len(node_seq(gbz, nid, False))
             parts.extend((nid << 11) | (rev << 10) | o for o in range(ln))
         assert tags.tolist() == parts
+
+
+def test_fallback_extract_matches_native(gbz, monkeypatch):
+    """The numpy lockstep extract_all (no native lib) matches the walker."""
+    import pangenome_index_tpu.formats.gbwt_table as gt
+
+    t = RecordTable.from_gbwt(gbz.index, use_native=False)
+    seqs = np.arange(gbz.index.sequences, dtype=np.int64)
+    want_v, want_p = t.extract_all(seqs)
+    monkeypatch.setattr(gt, "_native_lib", lambda: None)
+    got_v, got_p = t.extract_all(seqs)
+    assert np.array_equal(got_v, want_v) and np.array_equal(got_p, want_p)
