@@ -63,7 +63,8 @@ def encode_reads(reads, n_reads, read_len):
 
 def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                   chunk=CHUNK, mer_m=MER_M, iters=3, measure_ext=True,
-                  mer_cache_dir=None, log=lambda s: print(s, file=sys.stderr)):
+                  mer_cache_dir=None, ckpt_block=64,
+                  log=lambda s: print(s, file=sys.stderr)):
     """Full device serving measurement on one chip: checkpoint-rank tables,
     on-device m-mer seed table, work-sorted chunking. Returns a dict with
     reads/s, LF-steps/s, and the per-read MEM counts (for cross-checks)."""
@@ -81,7 +82,8 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
     log(f"[bench] device: {dev}")
     # checkpoint tables: ONE 64B gather per rank6 query (see ops/tables.py);
     # measured 6.3x the dense mode's extension rate on v5e (PERF.md round 2)
-    t = jax.device_put(rindex_to_device(idx, checkpoint=True), dev)
+    t = jax.device_put(rindex_to_device(idx, checkpoint=True,
+                                        ckpt_block=ckpt_block), dev)
 
     # m-mer seed table (skips the first m extensions of MEM steps 1 and 3).
     # Device execution is ~1.5s but the builder's XLA compile is 90s+ per

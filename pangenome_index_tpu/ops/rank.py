@@ -55,12 +55,16 @@ def _ckpt_rank6(t: RIndexTables, pos):
     gather row on the issue-rate-bound path it replaces.
     """
     pos = jnp.asarray(pos)
-    row = t.ckpt[pos >> 6]                     # [B, 16] - the one gather
+    # bucket size is encoded in the row width (16 -> 64 codes, 24 -> 128):
+    # static at trace time, so no extra table field is needed
+    nwords = {16: 8, 24: 16}[t.ckpt.shape[-1]]
+    shift = 6 if nwords == 8 else 7
+    row = t.ckpt[pos >> shift]                 # the one gather
     base = row[..., :6]
-    payload = row[..., 6:14]                   # [B, 8] int32 (8 nibbles each)
-    i = (pos & 63).astype(jnp.int32)
+    payload = row[..., 6 : 6 + nwords]         # [B, nwords] int32 (8 nibbles each)
+    i = (pos & (nwords * 8 - 1)).astype(jnp.int32)
     # per-word cutoff: word w keeps its first clamp(i - 8w, 0, 8) nibbles
-    thr = jnp.clip(i[..., None] - 8 * jnp.arange(8, dtype=jnp.int32), 0, 8)
+    thr = jnp.clip(i[..., None] - 8 * jnp.arange(nwords, dtype=jnp.int32), 0, 8)
     full = thr >= 8
     mask = jnp.where(full, -1, (1 << (4 * jnp.where(full, 0, thr))) - 1)
     masked = (payload & mask) | ~mask          # dropped nibbles -> 0xF

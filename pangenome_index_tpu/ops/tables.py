@@ -70,7 +70,7 @@ class RIndexTables(NamedTuple):
 
 def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
                      dense: bool = False, ultra: bool = False,
-                     checkpoint: bool = False) -> RIndexTables:
+                     checkpoint: bool = False, ckpt_block: int = 64) -> RIndexTables:
     """Memory/speed spectrum for the rank hot path (per-chip choice; sharding
     over the mesh divides n and r per shard):
 
@@ -95,22 +95,27 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
     if checkpoint:
         if idx.n >= 2**31:
             raise ValueError("checkpoint rank tables require n < 2^31 per shard")
-        n_buckets = (idx.n >> 6) + 2
+        if ckpt_block not in (64, 128):
+            raise ValueError("ckpt_block must be 64 or 128")
+        shift = ckpt_block.bit_length() - 1
+        nwords = ckpt_block // 8                 # 4-bit codes, 8 per int32
+        width = 16 if ckpt_block == 64 else 24   # 6 + nwords, padded to x8
+        n_buckets = (idx.n >> shift) + 2
         bwt_codes = np.repeat(idx.run_sym.astype(np.int64), idx.run_len)
-        padded = np.full(n_buckets * 64, 15, dtype=np.int64)
+        padded = np.full(n_buckets * ckpt_block, 15, dtype=np.int64)
         padded[: idx.n] = bwt_codes
-        nib = padded.reshape(n_buckets, 8, 8)
+        nib = padded.reshape(n_buckets, nwords, 8)
         shifts = (4 * np.arange(8, dtype=np.int64))[None, None, :]
         payload = (nib << shifts).sum(axis=2).astype(np.uint32)
-        bucket_of = np.arange(idx.n, dtype=np.int64) >> 6
+        bucket_of = np.arange(idx.n, dtype=np.int64) >> shift
         counts = np.bincount(bucket_of * 6 + bwt_codes,
                              minlength=n_buckets * 6).reshape(n_buckets, 6)
         cum_b = np.zeros((n_buckets, 6), dtype=np.int64)
         np.cumsum(counts[:-1], axis=0, out=cum_b[1:])
-        row = np.zeros((n_buckets, 16), dtype=np.int64)
+        row = np.zeros((n_buckets, width), dtype=np.int64)
         row[:, :6] = cum_b
-        row[:, 6:14] = payload.astype(np.int64)  # reinterpreted as int32 below
-        ckpt = jnp.asarray(row.astype(np.uint32).view(np.int32).reshape(n_buckets, 16))
+        row[:, 6 : 6 + nwords] = payload.astype(np.int64)  # reinterpreted as int32
+        ckpt = jnp.asarray(row.astype(np.uint32).view(np.int32).reshape(n_buckets, width))
     if ultra:
         contrib = np.zeros((idx.n + 2, 8), dtype=np.int64)
         bwt_codes = np.repeat(idx.run_sym.astype(np.int64), idx.run_len)

@@ -195,3 +195,20 @@ def test_stream_engine_matches_batch(ref_data):
         res = find_mems_stream(t, cd, ln, 8, 1, capacity=cap, lanes=7)
         for a, b in zip(res, ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_128_block_rank_equality():
+    """128-code checkpoint rows (0.75 B/pos) match the 64-code rows and the
+    host rank for all 6 symbols."""
+    import numpy as np
+
+    from pangenome_index_tpu.ops import rank as rankops
+    from pangenome_index_tpu.ops.tables import rindex_to_device
+    from pangenome_index_tpu.utils.synth import build_synth_index
+
+    idx, _ = build_synth_index(20_000, 4, seed=2)
+    t128 = rindex_to_device(idx, checkpoint=True, ckpt_block=128)
+    pos = np.random.default_rng(0).integers(0, idx.n + 1, 2048)
+    got = np.asarray(rankops.rank6(t128, pos))
+    want = np.stack([idx.rank(pos, c) for c in range(6)], axis=1)
+    assert np.array_equal(got, want)
