@@ -151,32 +151,54 @@ def build_tags_pipeline(gbz_path: str, rlbwt_path: str, output_path: str,
                         k: int = 31, stats: bool = False) -> int:
     """CLI driver (panidx build-tags): direct SA-based construction; with
     stats=True also runs the anchored pipeline for the coverage fractions the
-    reference reports (build_tags.cpp:124-126, 163-165)."""
+    reference reports (build_tags.cpp:124-126, 163-165). Per-phase wall-clock
+    times are reported on stderr like the reference's chrono prints
+    (build_tags.cpp:71-73, 90-92, 135-138, 193-196)."""
+    import time
+
     from ..formats import tags as tagfmt
     from ..formats.gbz import load_gbz
     from ..formats.rlbwt import read_rlbwt
 
     print("Loading the graph file", file=sys.stderr)
+    t = time.perf_counter()
     gbz = load_gbz(gbz_path)
+    t = _phase(t, "Loading the graph")
     idx = build_rindex(read_rlbwt(rlbwt_path), keep_sa=True)
+    t = _phase(t, "Building the r-index")
     if stats:
         from .anchor import anchor_kmers, extend_runs
         from .kmers import unique_kmers
 
         keys, pos = unique_kmers(gbz, k)
         print(f"The number of unique kmers in the index is: {len(keys)}", file=sys.stderr)
+        t = _phase(t, "Indexing unique kmers")
         rs, rl, rp = anchor_kmers(idx, keys, pos, k)
         covered = int(rl.sum())
         print(f"The fraction of the tag arrays covered by unique kmers is: "
               f"{covered} / {idx.n} = {covered / idx.n}", file=sys.stderr)
+        t = _phase(t, "Anchoring kmers")
         _, el, _, _ = extend_runs(gbz, idx, rs, rl, rp, max_rounds=10_000)
         covered2 = int(el.sum())
         print(f"The fraction of the tag arrays covered after extending the kmers is: "
               f"{covered2} / {idx.n} = {covered2 / idx.n}", file=sys.stderr)
+        t = _phase(t, "Extending kmers")
     tags = build_tags(gbz, idx)
+    t = _phase(t, "Traversing all paths (tag gather + RLE)")
     data = tagfmt.write_algorithm(tags)
     with open(output_path, "wb") as fh:
         fh.write(data)
+    _phase(t, "Serializing tag runs")
     print(f"build-tags: {tags.n_runs} runs covering {tags.total} BWT positions",
           file=sys.stderr)
     return 0
+
+
+def _phase(t0: float, label: str) -> float:
+    """Print one per-phase timing line (tracing parity with the reference's
+    chrono duration prints) and return the next phase's start time."""
+    import time
+
+    t1 = time.perf_counter()
+    print(f"{label} took {t1 - t0:.3f} seconds", file=sys.stderr)
+    return t1
