@@ -111,6 +111,70 @@ def test_extension_equals_scalar_reference_semantics(setup):
     assert fanout_seen > 0
 
 
+def _brute_anchor(idx, keys, positions, k):
+    """Unpruned enumeration (the pre-round-2 algorithm): extend every
+    nonempty interval by all four bases to depth k, then join. Exponential
+    frontier — small k only; the oracle for the suffix-pruned version."""
+    from pangenome_index_tpu.core.anchor import _lf_batch
+
+    lo = np.zeros(1, dtype=np.int64)
+    hi = np.full(1, idx.n - 1, dtype=np.int64)
+    key = np.zeros(1, dtype=np.int64)
+    for depth in range(k):
+        los, his, kys = [], [], []
+        for base, code2 in [(0, 1), (1, 2), (2, 3), (3, 5)]:
+            nlo, nhi, ok = _lf_batch(idx, lo, hi, code2)
+            los.append(nlo[ok])
+            his.append(nhi[ok])
+            kys.append(((base << (2 * depth)) | key)[ok])
+        lo, hi, key = np.concatenate(los), np.concatenate(his), np.concatenate(kys)
+    j = np.searchsorted(keys, key)
+    j_c = np.clip(j, 0, max(len(keys) - 1, 0))
+    hit = (len(keys) > 0) & (keys[j_c] == key)
+    return lo[hit], (hi - lo + 1)[hit], positions[j_c[hit]]
+
+
+@pytest.mark.parametrize("k", [7, 11])
+def test_anchor_suffix_prune_is_exact(setup, k):
+    """The reversed-key suffix prune must not change the anchored set."""
+    gbz, idx, _ = setup
+    keys, pos = unique_kmers(gbz, k)
+    got = anchor_kmers(idx, keys, pos, k)
+    want = _brute_anchor(idx, keys, pos, k)
+    # the prune is a pure filter, so surviving runs keep frontier order
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    assert len(got[0]) > 0
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_extension_matches_scalar_on_random_graphs(seed):
+    """Vectorized extension rounds == scalar FIFO reference semantics on
+    random bubble graphs (exercises fan-out, conflicts, and the CSR
+    deterministic-predecessor derivation beyond the committed fixture)."""
+    from pangenome_index_tpu.models.rindex import build_rindex_from_sa
+    from pangenome_index_tpu.models.oracle import oracle_from_lines
+    from pangenome_index_tpu.formats.rlbwt import rlbwt_from_text
+    from pangenome_index_tpu.utils.synth import synth_graph_gbz
+
+    k = 6  # k≈log4(text): ~45% anchored, ~900 extension runs per seed
+    gbz, lines = synth_graph_gbz(1500, 3, site_rate=0.02, seed=seed)
+    oracle = oracle_from_lines(lines)
+    idx = build_rindex_from_sa(rlbwt_from_text(oracle.bwt.tobytes()), oracle.da,
+                               oracle.sa_pos, oracle.seq_lengths)
+    keys, pos = unique_kmers(gbz, k)
+    rs, rl, rp = anchor_kmers(idx, keys, pos, k)
+    assert len(rs) > 0
+    es, el, ep, covered = extend_runs(gbz, idx, rs, rl, rp)
+    got = set(zip(es.tolist(), el.tolist(), ep.tolist())) - \
+        set(zip(rs.tolist(), rl.tolist(), rp.tolist()))
+    exp_runs, exp_cov, _ = _extend_scalar_reference(gbz, idx, rs, rl, rp)
+    assert got == set(exp_runs)
+    np.testing.assert_array_equal(covered, exp_cov)
+    assert len(exp_runs) > 500  # the config must actually exercise extension
+    assert el.sum() > rl.sum()
+
+
 def test_extension_matches_truth_and_grows_coverage(setup):
     gbz, idx, truth = setup
     keys, pos = unique_kmers(gbz, K)
