@@ -41,7 +41,10 @@ def run_scale(name, base_len, n_haps, seed):
           f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
     reads = synth_reads(lines, bench.N_READS, bench.READ_LEN, error_rate=0.01, seed=1)
     codes, lens = bench.encode_reads(reads, bench.N_READS, bench.READ_LEN)
-    m = bench.serve_measure(idx, codes, lens, mer_cache_dir=cache)
+    # chunk=None = measurement autotune: the lane optimum is index-dependent
+    # (shallow-hap configs want 4096, the deep-hap config 8192 - PERF.md), so
+    # every scale races the candidates and serves at its own optimum
+    m = bench.serve_measure(idx, codes, lens, mer_cache_dir=cache, chunk=None)
     r1 = bench.native_baseline(idx, codes, lens, m["counts"], n_threads=1)
     r2 = bench.native_baseline(idx, codes, lens, m["counts"], n_threads=2)
     print(json.dumps({
