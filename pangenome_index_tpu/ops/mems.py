@@ -39,7 +39,7 @@ class MemResult(NamedTuple):
 def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
                    min_len, min_occ, capacity: int = 32, rank6_fn=None,
                    mer_table=None, mer_keys=None, mer_valid=None,
-                   mer_m: int = 0) -> MemResult:
+                   mer_m: int = 0, with_stats: bool = False) -> MemResult:
     """codes: [B, L] int32 (0-padded), lengths: [B]. Returns MemResult.
 
     The pad column j == length reads code 0 - the reference's std::string NUL
@@ -50,6 +50,10 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
     collective-based provider every device must run the same iteration count -
     the while condition only depends on replicated lane state, which holds
     when codes/lengths are identical across the model axis.
+
+    with_stats=True additionally returns {"steps": total active-lane
+    extensions executed, "iters": loop iterations} - the in-serving step
+    rate these imply is the BASELINE.json inner-loop efficiency metric.
     """
     B, L = codes.shape
     pd = t.pos_dtype
@@ -96,12 +100,14 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         m_size: jax.Array
         cnt: jax.Array
         it: jax.Array
+        steps: jax.Array     # [] total active-lane extensions (stats)
 
     z = jnp.zeros(B, pd)
     zM = jnp.zeros((B, M), pd)
     st = S(phase=jnp.zeros(B, jnp.int32), x=z, j=z, k=z, kp=z, s=z,
            k2=z, kp2=z, s2=z, m_start=zM, m_end=zM, m_bwt=zM, m_size=zM,
-           cnt=jnp.zeros(B, jnp.int32), it=jnp.zeros((), jnp.int32))
+           cnt=jnp.zeros(B, jnp.int32), it=jnp.zeros((), jnp.int32),
+           steps=jnp.zeros((), jnp.int32))
 
     max_iters = 4 * (L + 1) * (L + 1) + 64
 
@@ -227,16 +233,20 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
             kp = jnp.where(can3, jnp.where(oh_e, seed_kp, 0).sum(axis=1), kp)
             s = jnp.where(can3, row3_s, s)
 
+        steps = st.steps + (act.sum() if with_stats else 0)
         return S(phase, x, j, k, kp, s, k2, kp2, s2,
-                 m_start, m_end, m_bwt, m_size, cnt, st.it + 1)
+                 m_start, m_end, m_bwt, m_size, cnt, st.it + 1, steps)
 
     st = jax.lax.while_loop(cond, body, st)
-    return MemResult(st.m_start, st.m_end, st.m_bwt, st.m_size,
-                     st.cnt, st.cnt > M)
+    res = MemResult(st.m_start, st.m_end, st.m_bwt, st.m_size,
+                    st.cnt, st.cnt > M)
+    if with_stats:
+        return res, {"steps": st.steps, "iters": st.it}
+    return res
 
 
 find_mems_batch = functools.partial(
-    jax.jit, static_argnames=("capacity", "mer_m"))(find_mems_impl)
+    jax.jit, static_argnames=("capacity", "mer_m", "with_stats"))(find_mems_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "lanes"))
