@@ -58,6 +58,12 @@ def anchor_kmers(idx: RIndex, keys: np.ndarray, positions: np.ndarray, k: int):
 
     keys must be sorted (output of core/kmers.unique_kmers).
     """
+    if len(keys) == 0:
+        # no unique k-mers -> nothing can anchor; also keeps the frontier
+        # pruned (with an empty oracle the loop below would enumerate every
+        # distinct d-mer of the text before finding zero hits)
+        e = np.zeros(0, np.int64)
+        return e, e.copy(), e.copy()
     # suffix-membership oracle: backward search builds k-mers right-to-left,
     # so after d levels the partial key holds the d RIGHTMOST chars. "Some
     # unique k-mer ends with suffix S" == "some char-reversed key starts

@@ -186,3 +186,13 @@ def test_extension_matches_truth_and_grows_coverage(setup):
     for s, l, p in zip(es.tolist(), el.tolist(), ep.tolist()):
         for t in range(l):
             assert truth[s + t - n_seq] == p, (s + t, p, truth[s + t - n_seq])
+
+
+def test_anchor_empty_unique_index(setup):
+    """No unique k-mers -> three empty int64 arrays, no enumeration blow-up
+    (advisor round-2 finding: empty keys used to IndexError after first
+    enumerating every distinct d-mer unpruned)."""
+    _, idx, _ = setup
+    rs, rl, rp = anchor_kmers(idx, np.zeros(0, np.int64), np.zeros(0, np.int64), 7)
+    assert len(rs) == len(rl) == len(rp) == 0
+    assert rs.dtype == rl.dtype == rp.dtype == np.int64
