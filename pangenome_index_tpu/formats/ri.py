@@ -164,6 +164,98 @@ def _finish_from_runs(run_sym, run_len, samples, last_positions, last_to_run,
     )
 
 
+def _decode_encoded_runs(stream: bytes, start_bits: np.ndarray,
+                         enc_block_size: int, ncp: int,
+                         r_total: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode of the encoded block stream -> (run_sym, run_len).
+
+    Lockstep over all blocks (numpy, no per-run Python loop - the reference's
+    buffered C++ block decode is r-index.cpp:407-459; this is the array-program
+    equivalent): the ncp cumulative-rank varints at each block head are
+    back-to-back, so skipping all of them is ONE lookup into the stream's
+    final-byte index (the ncp-th varint ends at the (rank+ncp-1)-th byte with
+    the 0x80 continuation bit clear); then `enc_block_size` lockstep header
+    reads with a subset sub-loop for the rare >=32-length varint spills.
+    """
+    sb = np.frombuffer(stream, dtype=np.uint8)
+    n_blocks_total = len(start_bits)
+    nb = min(n_blocks_total, (r_total + enc_block_size - 1) // enc_block_size)
+    if nb == 0:
+        return np.zeros(0, np.int8), np.zeros(0, np.int64)
+    starts = np.asarray(start_bits[:nb], dtype=np.int64)
+    ends = np.empty(nb, np.int64)
+    ends[:-1] = start_bits[1:nb]
+    ends[-1] = start_bits[nb] if nb < n_blocks_total else len(sb)
+    final_idx = np.flatnonzero((sb & 0x80) == 0)
+    rank0 = np.searchsorted(final_idx, starts)
+    if (rank0 + ncp - 1 >= len(final_idx)).any():
+        raise ValueError(".ri encoded stream truncated in cumulative ranks")
+    cur = final_idx[rank0 + ncp - 1] + 1
+    counts = np.minimum(
+        r_total - np.arange(nb, dtype=np.int64) * enc_block_size,
+        enc_block_size)
+    active_all = np.arange(enc_block_size)[None, :] < counts[:, None]
+    sym = np.zeros((nb, enc_block_size), np.int8)
+    length = np.zeros((nb, enc_block_size), np.int64)
+    for t in range(enc_block_size):
+        active = active_all[:, t]
+        if not active.any():
+            break
+        if int(cur[active].max()) >= len(sb):
+            raise ValueError(".ri encoded stream truncated in runs")
+        hdr = np.zeros(nb, np.int64)
+        hdr[active] = sb[cur[active]]
+        cur = cur + active
+        prefix = hdr & 0x1F
+        spill = active & (prefix == 31)
+        val = np.zeros(nb, np.int64)
+        off = 0
+        alive = spill.copy()
+        while alive.any():
+            b = sb[cur[alive]].astype(np.int64)
+            val[alive] += (b & 0x7F) << off
+            cur[alive] += 1
+            nxt = alive.copy()
+            nxt[alive] = (b & 0x80) != 0
+            alive = nxt
+            off += 7
+        sym[:, t] = np.where(active, (hdr >> 5) & 0x7, 0)
+        length[:, t] = np.where(spill, 32 + val, prefix + 1) * active
+    over = cur > ends
+    if over.any():
+        raise ValueError(
+            f".ri encoded block {int(np.flatnonzero(over)[0])} overruns its extent")
+    keep = active_all.reshape(-1)
+    return sym.reshape(-1)[keep], length.reshape(-1)[keep]
+
+
+def _decode_legacy_runs(buf: io.BytesIO, n_blocks: int, ncp: int,
+                        r_total: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized legacy-block decode: full blocks have a uniform word
+    stride [nbits][cum x ncp][n_runs][(sym, len) x block_size], so all of
+    them decode via one reshape; only a trailing partial block (and the
+    trailing empty block when r %% block_size == 0) is read stepwise."""
+    n_full = r_total // BLOCK_SIZE
+    stride = 1 + ncp + 1 + 2 * BLOCK_SIZE  # in u64 words
+    words = np.frombuffer(buf.read(8 * stride * n_full), dtype="<u8")
+    if words.size != stride * n_full:
+        raise ValueError(".ri legacy blocks truncated")
+    blk = words.reshape(n_full, stride) if n_full else words.reshape(0, stride)
+    sym_bytes = blk[:, 2 + ncp::2]
+    run_len = blk[:, 3 + ncp::2].astype(np.int64).reshape(-1)
+    run_sym = BYTE_TO_CODE[sym_bytes.astype(np.int64) & 0xFF].reshape(-1)
+    tail_sym: list[int] = []
+    tail_len: list[int] = []
+    for _ in range(n_full, n_blocks):
+        sdsl.read_int_vector(buf, fixed_width=64)
+        for _ in range(sdsl.read_u64(buf)):
+            sym_byte = int.from_bytes(buf.read(8), "little")
+            tail_len.append(int.from_bytes(buf.read(8), "little"))
+            tail_sym.append(int(BYTE_TO_CODE[sym_byte]))
+    return (np.concatenate([run_sym, np.asarray(tail_sym, np.int64)]),
+            np.concatenate([run_len, np.asarray(tail_len, np.int64)]))
+
+
 def load(data: bytes) -> RIndex:
     """Load either format (load_encoded transparently falls back to legacy,
     r-index.cpp:407-459)."""
@@ -192,53 +284,24 @@ def load(data: bytes) -> RIndex:
     )
     present_codes = [int(BYTE_TO_CODE[b]) for b in present_bytes]
 
-    run_sym: list[int] = []
-    run_len: list[int] = []
     if flags & FLAG_ENCODED:
         enc_block_size = sdsl.read_u64(buf)
         buf.read(1)  # has_N byte
         start_bits, _ = sdsl.read_int_vector(buf)
         stream_size = sdsl.read_u64(buf)
         stream = buf.read(stream_size)
-        n_blocks = len(start_bits)
         # block accounting (not inferred from decode state): block b holds
         # runs [b*block_size, min((b+1)*block_size, r)); one trailing EMPTY
         # block exists iff r % block_size == 0, and its cum vector is the
         # default 8-entry zero vector (Run_blocks() ctor, r-index.hpp:144)
         # instead of a len(C_present)-entry one.
-        r_total = len(samples)
-        for b in range(n_blocks):
-            loc = int(start_bits[b])
-            end = int(start_bits[b + 1]) if b + 1 < n_blocks else stream_size
-            lo = b * enc_block_size
-            if lo >= r_total:
-                break  # trailing empty block: 8 zero varints, no runs
-            for _ in range(len(C_present)):
-                _, loc = bytecode.read_value(stream, loc)
-            for _ in range(min(lo + enc_block_size, r_total) - lo):
-                header = stream[loc]
-                loc += 1
-                code = (header >> 5) & 0x7
-                prefix = header & 0x1F
-                if prefix < 31:
-                    length = prefix + 1
-                else:
-                    extra, loc = bytecode.read_value(stream, loc)
-                    length = 32 + extra
-                run_sym.append(code)
-                run_len.append(length)
-            if loc > end:
-                raise ValueError(f".ri encoded block {b} overruns its extent")
+        run_sym, run_len = _decode_encoded_runs(
+            stream, start_bits, int(enc_block_size), len(C_present),
+            r_total=len(samples))
     else:
         n_blocks = sdsl.read_u64(buf)
-        for b in range(n_blocks):
-            cum_ranks, _ = sdsl.read_int_vector(buf, fixed_width=64)
-            n_runs = sdsl.read_u64(buf)
-            for _ in range(n_runs):
-                sym_byte = int.from_bytes(buf.read(8), "little")
-                length = int.from_bytes(buf.read(8), "little")
-                run_sym.append(int(BYTE_TO_CODE[sym_byte]))
-                run_len.append(length)
+        run_sym, run_len = _decode_legacy_runs(
+            buf, int(n_blocks), len(C_present), r_total=len(samples))
 
     idx = _finish_from_runs(
         run_sym, run_len, samples, last.positions, last_to_run,

@@ -51,6 +51,46 @@ def _bits_to_values(bits: np.ndarray, width: int, count: int) -> np.ndarray:
     return (b << np.arange(width, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
 
 
+def _words_to_values(words: np.ndarray, width: int, count: int) -> np.ndarray:
+    """Extract `count` LSB-first `width`-bit values straight from the packed
+    uint64 words - O(count) with no per-bit materialization (the bit-matrix
+    path costs ~width x 16 bytes per value in temporaries, which dominated
+    genome-scale `.ri`/`.tags` loads)."""
+    if count == 0 or width == 0:
+        return np.zeros(count, dtype=np.int64)
+    w = np.concatenate([words.astype("<u8"), np.zeros(1, "<u8")])
+    bitpos = np.arange(count, dtype=np.uint64) * np.uint64(width)
+    lo = (bitpos >> np.uint64(6)).astype(np.int64)
+    off = bitpos & np.uint64(63)
+    val = w[lo] >> off
+    hi_shift = (np.uint64(64) - off) & np.uint64(63)  # 0 iff off == 0
+    val |= np.where(off == 0, np.uint64(0), w[lo + 1] << hi_shift)
+    if width < 64:
+        val &= (np.uint64(1) << np.uint64(width)) - np.uint64(1)
+    return val.astype(np.int64)
+
+
+def _values_to_words(values: np.ndarray, width: int) -> np.ndarray:
+    """Pack LSB-first `width`-bit values into uint64 words (inverse of
+    `_words_to_values`; each value straddles at most two words)."""
+    n = len(values)
+    nwords = (n * width + 63) // 64
+    if n == 0 or width == 0:
+        return np.zeros(nwords, dtype="<u8")
+    v = np.asarray(values).astype(np.uint64)
+    if width < 64:
+        v &= (np.uint64(1) << np.uint64(width)) - np.uint64(1)
+    bitpos = np.arange(n, dtype=np.uint64) * np.uint64(width)
+    lo = (bitpos >> np.uint64(6)).astype(np.int64)
+    off = bitpos & np.uint64(63)
+    words = np.zeros(nwords + 1, dtype=np.uint64)
+    np.bitwise_or.at(words, lo, v << off)
+    hi_shift = (np.uint64(64) - off) & np.uint64(63)
+    spill = np.where(off == 0, np.uint64(0), v >> hi_shift)
+    np.bitwise_or.at(words, lo + 1, spill)
+    return words[:nwords].astype("<u8")
+
+
 def _values_to_bits(values: np.ndarray, width: int) -> np.ndarray:
     n = len(values)
     if n == 0 or width == 0:
@@ -90,9 +130,8 @@ def read_int_vector(buf, fixed_width: int | None = None) -> tuple[np.ndarray, in
         width = fixed_width
     nwords = (nbits + 63) // 64
     words = np.frombuffer(buf.read(nwords * 8), dtype="<u8")
-    bits = _words_to_bits(words, nbits)
     count = nbits // width if width else 0
-    return _bits_to_values(bits, width, count), width
+    return _words_to_values(words, width, count), width
 
 
 def write_int_vector(buf, values, width: int, fixed_width: int | None = None) -> None:
@@ -101,8 +140,7 @@ def write_int_vector(buf, values, width: int, fixed_width: int | None = None) ->
     write_u64(buf, nbits)
     if fixed_width is None:
         buf.write(bytes([width]))
-    words = _bits_to_words(_values_to_bits(values, width))
-    buf.write(words.tobytes())
+    buf.write(_values_to_words(values, width).tobytes())
 
 
 def read_bit_vector(buf) -> np.ndarray:
