@@ -68,6 +68,55 @@ class RIndexTables(NamedTuple):
         return self.run_start.dtype
 
 
+def build_ckpt_rows(idx: RIndex, ckpt_block: int = 64,
+                    chunk: int = 1 << 22) -> np.ndarray:
+    """Host-side construction of the checkpoint rank table, chunked so peak
+    temporary memory is O(chunk) instead of ~24 B/position (the whole-text
+    np.repeat/bincount formulation was the build-memory cliff at HPRC
+    chromosome scale - round-2 verdict). Output: [(n >> shift) + 2, width]
+    int32 rows, ~1 byte/position; layout documented on RIndexTables.ckpt."""
+    if idx.n >= 2**31:
+        raise ValueError("checkpoint rank tables require n < 2^31 per shard")
+    if ckpt_block not in (64, 128):
+        raise ValueError("ckpt_block must be 64 or 128")
+    shift = ckpt_block.bit_length() - 1
+    nwords = ckpt_block // 8                 # 4-bit codes, 8 per int32
+    width = 16 if ckpt_block == 64 else 24   # 6 + nwords, padded to x8
+    n_buckets = (int(idx.n) >> shift) + 2
+    chunk = max(ckpt_block, chunk - chunk % ckpt_block)  # bucket-aligned
+    row = np.zeros((n_buckets, width), dtype=np.int32)
+    run_end = idx.run_start + idx.run_len
+    shifts = (4 * np.arange(8, dtype=np.uint32))[None, None, :]
+    running = np.zeros(6, dtype=np.int64)
+    filled = 0
+    for p0 in range(0, int(idx.n), chunk):
+        p1 = min(p0 + chunk, int(idx.n))
+        j0 = max(int(np.searchsorted(idx.run_start, p0, side="right")) - 1, 0)
+        j1 = int(np.searchsorted(idx.run_start, p1, side="left"))
+        seg = (np.minimum(run_end[j0:j1], p1)
+               - np.maximum(idx.run_start[j0:j1], p0))
+        codes = np.repeat(idx.run_sym[j0:j1], seg)          # int8, O(chunk)
+        b0 = p0 >> shift
+        nb = (p1 - p0 + ckpt_block - 1) >> shift
+        padded = np.full(nb * ckpt_block, 15, dtype=np.uint8)
+        padded[: p1 - p0] = codes
+        nib = padded.reshape(nb, nwords, 8).astype(np.uint32)
+        row[b0 : b0 + nb, 6 : 6 + nwords] = (
+            (nib << shifts).sum(axis=2, dtype=np.uint32).view(np.int32))
+        key = (np.arange(p1 - p0, dtype=np.int32) >> shift) * 6 \
+            + codes.astype(np.int32)
+        counts = np.bincount(key, minlength=nb * 6).reshape(nb, 6)
+        cum_local = np.zeros((nb, 6), dtype=np.int64)
+        np.cumsum(counts[:-1], axis=0, out=cum_local[1:])
+        row[b0 : b0 + nb, :6] = running[None, :] + cum_local
+        running += counts.sum(axis=0)
+        filled = b0 + nb
+    # buckets at/past n: checkpoint = totals, payload = all-0xF pad nibbles
+    row[filled:, :6] = running[None, :]
+    row[filled:, 6 : 6 + nwords] = -1  # 0xFFFFFFFF: all-0xF nibbles
+    return row
+
+
 def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
                      dense: bool = False, ultra: bool = False,
                      checkpoint: bool = False, ckpt_block: int = 64) -> RIndexTables:
@@ -93,29 +142,7 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
     rank_table = None
     ckpt = None
     if checkpoint:
-        if idx.n >= 2**31:
-            raise ValueError("checkpoint rank tables require n < 2^31 per shard")
-        if ckpt_block not in (64, 128):
-            raise ValueError("ckpt_block must be 64 or 128")
-        shift = ckpt_block.bit_length() - 1
-        nwords = ckpt_block // 8                 # 4-bit codes, 8 per int32
-        width = 16 if ckpt_block == 64 else 24   # 6 + nwords, padded to x8
-        n_buckets = (idx.n >> shift) + 2
-        bwt_codes = np.repeat(idx.run_sym.astype(np.int64), idx.run_len)
-        padded = np.full(n_buckets * ckpt_block, 15, dtype=np.int64)
-        padded[: idx.n] = bwt_codes
-        nib = padded.reshape(n_buckets, nwords, 8)
-        shifts = (4 * np.arange(8, dtype=np.int64))[None, None, :]
-        payload = (nib << shifts).sum(axis=2).astype(np.uint32)
-        bucket_of = np.arange(idx.n, dtype=np.int64) >> shift
-        counts = np.bincount(bucket_of * 6 + bwt_codes,
-                             minlength=n_buckets * 6).reshape(n_buckets, 6)
-        cum_b = np.zeros((n_buckets, 6), dtype=np.int64)
-        np.cumsum(counts[:-1], axis=0, out=cum_b[1:])
-        row = np.zeros((n_buckets, width), dtype=np.int64)
-        row[:, :6] = cum_b
-        row[:, 6 : 6 + nwords] = payload.astype(np.int64)  # reinterpreted as int32
-        ckpt = jnp.asarray(row.astype(np.uint32).view(np.int32).reshape(n_buckets, width))
+        ckpt = jnp.asarray(build_ckpt_rows(idx, ckpt_block))
     if ultra:
         contrib = np.zeros((idx.n + 2, 8), dtype=np.int64)
         bwt_codes = np.repeat(idx.run_sym.astype(np.int64), idx.run_len)

@@ -212,3 +212,15 @@ def test_checkpoint_128_block_rank_equality():
     got = np.asarray(rankops.rank6(t128, pos))
     want = np.stack([idx.rank(pos, c) for c in range(6)], axis=1)
     assert np.array_equal(got, want)
+
+
+def test_ckpt_rows_chunked_equals_oneshot(setup):
+    """The memory-bounded chunked checkpoint-table builder produces the same
+    rows regardless of chunk size (round-3: bounded build temporaries)."""
+    from pangenome_index_tpu.ops.tables import build_ckpt_rows
+    idx, _, _ = setup
+    for blk in (64, 128):
+        one = build_ckpt_rows(idx, ckpt_block=blk, chunk=1 << 30)
+        for chunk in (blk, 5 * blk, 1 << 12):
+            np.testing.assert_array_equal(
+                build_ckpt_rows(idx, ckpt_block=blk, chunk=chunk), one)
