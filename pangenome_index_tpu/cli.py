@@ -130,9 +130,12 @@ def cmd_find_mems(args) -> int:
             print()
     elif getattr(args, "mesh", None):
         # full serving step over a (data x model) jax.sharding.Mesh: reads
-        # sharded over 'data', run table sharded over 'model' (rank via one
-        # psum), tag tables replicated - the TPU-native deployment of the
-        # reference's per-chromosome sharding (parallel/engine.py)
+        # sharded over 'data', the checkpoint rank table range-sharded over
+        # 'model' (one local gather + psum per rank query - the round-2
+        # serving representation, distributed), tag tables replicated, m-mer
+        # seed table replicated, chunked back-to-back dispatch - the
+        # TPU-native deployment of the reference's per-chromosome sharding
+        # (parallel/engine.py; merge_tags.cpp:42-284 is the model to match)
         import jax
         import jax.numpy as jnp
 
@@ -144,28 +147,58 @@ def cmd_find_mems(args) -> int:
         init_distributed()
         n_data, n_model = (int(v) for v in args.mesh.lower().split("x"))
         mesh = make_mesh(n_data, n_model)
-        t_pad = pad_rindex_tables(idx, n_model)
+        use_ckpt = idx.n < 2**31 and args.rank_mode == "checkpoint"
+        t_pad = pad_rindex_tables(idx, n_model, checkpoint=use_ckpt)
         tt = tags_to_device(tags)
-        step = make_distributed_serving_step(
-            mesh, capacity=args.mem_capacity, tag_capacity=args.tag_capacity)
         codes, lens = _pack_reads(reads)
         n_reads = len(reads)
-        pad = (-n_reads) % n_data
-        codes_p = np.pad(codes, ((0, pad), (0, 0)))
-        lens_p = np.pad(lens, (0, pad))
+        mer_m = args.mer_len if (args.mer_len
+                                 and args.min_len > args.mer_len) else 0
+        mer_args = ()
+        if mer_m:
+            from .ops.mertable import cached_mer_table, read_mer_keys
+
+            cache_path = (None if args.no_mer_cache
+                          else f"{args.ri}.mer{mer_m}.npz")
+            mt_np = cached_mer_table(idx, mer_m, path=cache_path)
+            mk, mv = read_mer_keys(codes, lens, mer_m)
+        step = make_distributed_serving_step(
+            mesh, capacity=args.mem_capacity, tag_capacity=args.tag_capacity,
+            tables=t_pad, mer_m=mer_m)
+        B = (args.batch_size or 4096) * n_data  # global lanes per dispatch
+        chunks = []
         tm = time.perf_counter()
         with mesh:
-            res, tqr, _total = step(
-                t_pad, tt, jnp.asarray(codes_p), jnp.asarray(lens_p),
-                jnp.asarray(args.min_len, t_pad.pos_dtype),
-                jnp.asarray(args.min_occ, t_pad.pos_dtype))
-        starts, ends, bwts, sizes, counts, overflow = (
-            np.array(a)[:n_reads] for a in res)
+            mer_head = ()
+            if mer_m:
+                mer_head = (jnp.asarray(mt_np, t_pad.pos_dtype),)
+            for s0 in range(0, n_reads, B):
+                hi = min(s0 + B, n_reads)
+                pad = (-(hi - s0)) % n_data
+                codes_p = np.pad(codes[s0:hi], ((0, pad), (0, 0)))
+                lens_p = np.pad(lens[s0:hi], (0, pad))
+                mer_args = ()
+                if mer_m:
+                    mer_args = mer_head + (
+                        jnp.asarray(np.pad(mk[s0:hi], ((0, pad), (0, 0)))),
+                        jnp.asarray(np.pad(mv[s0:hi], ((0, pad), (0, 0)))))
+                chunks.append((hi - s0, step(
+                    t_pad, tt, jnp.asarray(codes_p), jnp.asarray(lens_p),
+                    jnp.asarray(args.min_len, t_pad.pos_dtype),
+                    jnp.asarray(args.min_occ, t_pad.pos_dtype), *mer_args)))
+        # all chunks dispatched before the first fetch (async queueing)
+        res = [np.concatenate([np.array(r[a])[:nn] for nn, (r, _, _) in chunks])
+               for a in range(6)]
+        starts, ends, bwts, sizes, counts, overflow = res
         total_mem_time = time.perf_counter() - tm
         M = starts.shape[1]
-        tp = np.asarray(tqr.positions).reshape(-1, M, args.tag_capacity)[:n_reads]
-        tu = np.asarray(tqr.n_unique)[:n_reads]
-        tof = np.asarray(tqr.overflow)[:n_reads]
+        tp = np.concatenate(
+            [np.asarray(tq.positions).reshape(-1, M, args.tag_capacity)[:nn]
+             for nn, (_, tq, _) in chunks])
+        tu = np.concatenate([np.asarray(tq.n_unique)[:nn]
+                             for nn, (_, tq, _) in chunks])
+        tof = np.concatenate([np.asarray(tq.overflow)[:nn]
+                              for nn, (_, tq, _) in chunks])
         tq = time.perf_counter()
         fi = 0
         for i in range(n_reads):
@@ -199,8 +232,11 @@ def cmd_find_mems(args) -> int:
         from .ops.tagquery import query_tags_batch
 
         mode = args.rank_mode
-        if mode == "checkpoint" and idx.n >= 2**31:
-            mode = "dense"  # checkpoint rows index by pos>>6 in int32
+        if mode in ("checkpoint", "dense", "ultra") and idx.n >= 2**31:
+            # checkpoint rows index by pos>>6 in int32; dense/ultra would
+            # materialize O(n) int64 HBM tables (>=17 GB exactly when this
+            # fires) - bucketed is the only O(r) mode at this size
+            mode = "bucketed"
         t = rindex_to_device(idx, **({} if mode == "bucketed" else {mode: True}))
         tt = tags_to_device(tags)
         codes, lens = _pack_reads(reads)
@@ -553,9 +589,11 @@ def main(argv=None) -> int:
                            help="m-mer seed table size (0 disables)")
             q.add_argument("--no-mer-cache", action="store_true",
                            help="do not persist the seed table next to the index")
-            q.add_argument("--batch-size", type=int, default=2048,
-                           help="device lanes per launch (0 = measure-and-pick "
-                                "between 4096/8192 on the first reads)")
+            q.add_argument("--batch-size", type=int, default=0,
+                           help="device lanes per launch (default 0 = "
+                                "measure-and-pick between 4096/8192 on the "
+                                "first reads; the optimum is workload-"
+                                "dependent, PERF.md)")
             q.add_argument("--mesh", default=None, metavar="DATAxMODEL",
                            help="serve over a (data x model) device mesh, "
                                 "e.g. 4x2: reads data-sharded, run table "

@@ -11,8 +11,12 @@ and the P[e] NUL sentinel of step 3, matches models/mems.py exactly (tested
 lane-vs-scalar in tests/test_device_engine.py).
 
 Phases: 0 = start a find_mems_function call at x, 1/2/3 = the reference's
-three steps, 4 = read done. MEMs land in fixed-capacity per-lane buffers
-(capacity overflow is flagged, not silently dropped).
+three steps, 4 = read done, 5 = entering step 3 next iteration (so the m-mer
+seed lookup for step 3 shares ONE one-hot block with the step-1 lookup - the
+[B, L+1] seed-table reads are the second-largest per-iteration HBM cost after
+the rank gathers; see examples/ablate_serving.py). MEMs land in
+fixed-capacity per-lane buffers (capacity overflow is flagged, not silently
+dropped; `count` stays exact past the capacity).
 """
 
 from __future__ import annotations
@@ -56,8 +60,12 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
     rate these imply is the BASELINE.json inner-loop efficiency metric.
     """
     B, L = codes.shape
+    if L >= 0xFFFF:  # (start, end) pack into one int32 buffer, 16 bits each
+        raise ValueError(f"read length {L} exceeds the 65534 engine limit")
     pd = t.pos_dtype
-    codes = jnp.pad(codes.astype(jnp.int32), ((0, 0), (0, 1)))
+    # codes live in the loop as int8: the per-iteration one-hot select reads
+    # the whole [B, L+1] table, so narrow dtype = 4x less HBM traffic
+    codes = jnp.pad(codes.astype(jnp.int8), ((0, 0), (0, 1)))
     lengths = lengths.astype(pd)
     min_len = jnp.asarray(min_len, pd)
     min_occ = jnp.asarray(min_occ, pd)
@@ -94,9 +102,8 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         k2: jax.Array
         kp2: jax.Array
         s2: jax.Array
-        m_start: jax.Array   # [B, M]
-        m_end: jax.Array
-        m_bwt: jax.Array
+        m_se: jax.Array      # [B, M] int32: (start << 16) | end, halves the
+        m_bwt: jax.Array     # per-iteration read+write traffic of the buffers
         m_size: jax.Array
         cnt: jax.Array
         it: jax.Array
@@ -105,7 +112,8 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
     z = jnp.zeros(B, pd)
     zM = jnp.zeros((B, M), pd)
     st = S(phase=jnp.zeros(B, jnp.int32), x=z, j=z, k=z, kp=z, s=z,
-           k2=z, kp2=z, s2=z, m_start=zM, m_end=zM, m_bwt=zM, m_size=zM,
+           k2=z, kp2=z, s2=z, m_se=jnp.zeros((B, M), jnp.int32),
+           m_bwt=zM, m_size=zM,
            cnt=jnp.zeros(B, jnp.int32), it=jnp.zeros((), jnp.int32),
            steps=jnp.zeros((), jnp.int32))
 
@@ -123,25 +131,33 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         p0 = phase == 0
         finished = p0 & ((x >= lengths) | (lengths - x < min_len))
         enter1 = p0 & ~finished
+        enter3 = phase == 5          # emitted last iteration; step 3 starts now
         phase = jnp.where(finished, 4, jnp.where(enter1, 1, phase))
+        phase = jnp.where(enter3, 3, phase)
         j = jnp.where(enter1, x + min_len - 1, j)
         k = jnp.where(enter1, 0, k)
         kp = jnp.where(enter1, 0, kp)
         s = jnp.where(enter1, N, s)
         if seed_k is not None:
-            # seed step 1 with the precomputed m-mer interval of the window
-            # ending at x+min_len-1 (exact: interval sizes are non-increasing,
-            # so a passing seed implies every skipped check passed; a failing
-            # seed falls back to stepwise extension)
-            widx = jnp.clip(x + min_len - 1, 0, L).astype(jnp.int32)
-            oh_w = iotaL == widx[:, None]
+            # ONE shared m-mer seed block for both entry points (a lane is
+            # never enter1 and enter3 in the same iteration): step 1 seeds
+            # with the window ending at x+min_len-1, step 3 with the window
+            # ending at e (carried in j). Exact: interval sizes are
+            # non-increasing, so a passing seed implies every skipped check
+            # passed; a failing seed falls back to stepwise extension.
+            widx = jnp.where(enter1, x + min_len - 1, j)
+            oh_w = iotaL == jnp.clip(widx, 0, L).astype(jnp.int32)[:, None]
             row_s = jnp.where(oh_w, seed_s, 0).sum(axis=1)
             can1 = (enter1 & (min_len > mer_m)
                     & (row_s >= min_occ) & (row_s > 0))
-            j = jnp.where(can1, x + min_len - 1 - mer_m, j)
-            k = jnp.where(can1, jnp.where(oh_w, seed_k, 0).sum(axis=1), k)
-            kp = jnp.where(can1, jnp.where(oh_w, seed_kp, 0).sum(axis=1), kp)
-            s = jnp.where(can1, row_s, s)
+            can3 = (enter3 & (j - mer_m > x)
+                    & (row_s >= min_occ) & (row_s > 0))
+            can = can1 | can3
+            j = jnp.where(can1, x + min_len - 1 - mer_m,
+                          jnp.where(can3, j - mer_m, j))
+            k = jnp.where(can, jnp.where(oh_w, seed_k, 0).sum(axis=1), k)
+            kp = jnp.where(can, jnp.where(oh_w, seed_kp, 0).sum(axis=1), kp)
+            s = jnp.where(can, row_s, s)
 
         # --- one extension step for all active lanes ---
         p1, p2, p3 = phase == 1, phase == 2, phase == 3
@@ -190,19 +206,19 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
             & emit[:, None]                                       # [B, M]
 
         def put(buf, val):
-            return buf + jnp.where(oh_col, val[:, None].astype(pd), 0)
+            return buf + jnp.where(oh_col, val[:, None], 0)
 
-        m_start = put(st.m_start, x)
-        m_end = put(st.m_end, e_val)
-        m_bwt = put(st.m_bwt, k2)
-        m_size = put(st.m_size, s2)
+        se = (x.astype(jnp.int32) << 16) | e_val.astype(jnp.int32)
+        m_se = put(st.m_se, se)
+        m_bwt = put(st.m_bwt, k2.astype(pd))
+        m_size = put(st.m_size, s2.astype(pd))
         cnt = st.cnt + emit.astype(jnp.int32)
 
         # new x / phase
         x = jnp.where(p1_fail | p3_fail, j + 1, jnp.where(p3_done, x + 1, x))
         phase = jnp.where(p1_fail | p3_fail | p3_done, 0, phase)
         phase = jnp.where(p1_to2, 2, phase)
-        phase = jnp.where(emit, 3, phase)
+        phase = jnp.where(emit, 5, phase)    # seed + enter step 3 next iter
 
         # new j
         j = jnp.where(p1_cont | p3_cont, j - 1, j)
@@ -216,30 +232,18 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         k = jnp.where(keep_new, nk, k)
         kp = jnp.where(keep_new, nkp, kp)
         s = jnp.where(keep_new, ns, s)
-        restart3 = emit  # step 3 starts from the full interval
-        k = jnp.where(restart3, 0, k)
+        restart3 = emit  # step 3 starts from the full interval (and is seeded
+        k = jnp.where(restart3, 0, k)        # by the shared block next iter)
         kp = jnp.where(restart3, 0, kp)
         s = jnp.where(restart3, N, s)
-        if seed_k is not None:
-            # seed step 3 with the m-mer ending at e (only when strictly more
-            # than m characters remain before x, and the window is in-read)
-            eidx = jnp.clip(e_val, 0, L).astype(jnp.int32)
-            oh_e = iotaL == eidx[:, None]
-            row3_s = jnp.where(oh_e, seed_s, 0).sum(axis=1)
-            can3 = (emit & (e_val - mer_m > x)
-                    & (row3_s >= min_occ) & (row3_s > 0))
-            j = jnp.where(can3, e_val - mer_m, j)
-            k = jnp.where(can3, jnp.where(oh_e, seed_k, 0).sum(axis=1), k)
-            kp = jnp.where(can3, jnp.where(oh_e, seed_kp, 0).sum(axis=1), kp)
-            s = jnp.where(can3, row3_s, s)
 
         steps = st.steps + (act.sum() if with_stats else 0)
         return S(phase, x, j, k, kp, s, k2, kp2, s2,
-                 m_start, m_end, m_bwt, m_size, cnt, st.it + 1, steps)
+                 m_se, m_bwt, m_size, cnt, st.it + 1, steps)
 
     st = jax.lax.while_loop(cond, body, st)
-    res = MemResult(st.m_start, st.m_end, st.m_bwt, st.m_size,
-                    st.cnt, st.cnt > M)
+    res = MemResult((st.m_se >> 16).astype(pd), (st.m_se & 0xFFFF).astype(pd),
+                    st.m_bwt, st.m_size, st.cnt, st.cnt > M)
     if with_stats:
         return res, {"steps": st.steps, "iters": st.it}
     return res

@@ -42,24 +42,23 @@ def run_of(t: RIndexTables, pos):
 _NIB = 0x11111111  # one bit per 4-bit nibble
 
 
-def _ckpt_rank6(t: RIndexTables, pos):
-    """Checkpoint-mode rank6: ONE 64B gather + SWAR nibble counting.
+def ckpt_row_rank6(row, pos, width: int):
+    """rank6 from gathered checkpoint rows: base occ + SWAR nibble counting.
 
-    The gathered row holds the bucket's occ checkpoints (cols 0..5) and its
-    64 BWT codes as 4-bit nibbles (cols 6..13, LSB-first). Counting symbol c
-    among the first (pos & 63) nibbles is branch-free int32 vector math:
-    nibbles at and past the cutoff are forced to 0xF (matches no code), then
-    per word a nibble equals c iff (word ^ c*0x11111111) has a zero nibble,
-    and zero-nibble counting is the classic multiply-accumulate reduction.
+    row: [..., width] int32 checkpoint rows (already gathered - the caller
+    owns the gather so the model-sharded provider can reuse this math on its
+    local shard, parallel/sharding.py:distributed_ckpt_rank6); pos: [...].
+
+    Each row holds the bucket's occ checkpoints (cols 0..5) and its 64 (or
+    128) BWT codes as 4-bit nibbles (LSB-first). Counting symbol c among the
+    first (pos & 63) nibbles is branch-free int32 vector math: nibbles at and
+    past the cutoff are forced to 0xF (matches no code), then per word a
+    nibble equals c iff (word ^ c*0x11111111) has a zero nibble, and
+    zero-nibble counting is the classic multiply-accumulate reduction.
     ~300 VPU ops/lane - microseconds for thousands of lanes, vs a second
     gather row on the issue-rate-bound path it replaces.
     """
-    pos = jnp.asarray(pos)
-    # bucket size is encoded in the row width (16 -> 64 codes, 24 -> 128):
-    # static at trace time, so no extra table field is needed
-    nwords = {16: 8, 24: 16}[t.ckpt.shape[-1]]
-    shift = 6 if nwords == 8 else 7
-    row = t.ckpt[pos >> shift]                 # the one gather
+    nwords = {16: 8, 24: 16}[width]
     base = row[..., :6]
     payload = row[..., 6 : 6 + nwords]         # [B, nwords] int32 (8 nibbles each)
     i = (pos & (nwords * 8 - 1)).astype(jnp.int32)
@@ -75,6 +74,17 @@ def _ckpt_rank6(t: RIndexTables, pos):
         n_nz = ((nz * _NIB) >> 28) & 0xF       # nibble-sum of nz (<= 8, exact)
         counts.append((8 - n_nz).sum(axis=-1))  # 0xF fillers never match c
     return base + jnp.stack(counts, axis=-1).astype(base.dtype)
+
+
+def _ckpt_rank6(t: RIndexTables, pos):
+    """Checkpoint-mode rank6: ONE 64B gather + SWAR nibble counting."""
+    pos = jnp.asarray(pos)
+    # bucket size is encoded in the row width (16 -> 64 codes, 24 -> 128):
+    # static at trace time, so no extra table field is needed
+    width = t.ckpt.shape[-1]
+    shift = 6 if width == 16 else 7
+    row = t.ckpt[pos >> shift]                 # the one gather
+    return ckpt_row_rank6(row, pos, width)
 
 
 def rank(t: RIndexTables, pos, code):

@@ -25,32 +25,64 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.mems import MemResult, find_mems_impl
 from ..ops.tables import RIndexTables, TagTables
 from ..ops.tagquery import TagQueryResult, query_tags_batch
-from .sharding import distributed_rank6
-
-_RUN_SPECS = RIndexTables(
-    run_sym=P("model"), run_start=P("model"), cum=P("model", None),
-    C=P(), samples=P(), last_sorted=P(), last_to_run=P(),
-    n=P(), n_seq=P(), max_len=P(),
-)
+from .sharding import distributed_ckpt_rank6, distributed_rank6
 
 
-def make_distributed_mem_step(mesh: Mesh, capacity: int = 16):
-    """Returns a jitted step: (tables, codes, lengths, min_len, min_occ)
-    -> (MemResult sharded over 'data', total MEM count replicated)."""
+def run_specs(t: RIndexTables) -> RIndexTables:
+    """shard_map partition specs for the index tables: run-dimension arrays
+    shard over 'model', scalars/small tables replicate. With a checkpoint
+    table present, `ckpt` rows shard over 'model' (contiguous position
+    ranges) and `cum` is the trimmed [1, 6] stub - replicated."""
+    has_ckpt = t.ckpt is not None
+    return RIndexTables(
+        run_sym=P("model"), run_start=P("model"),
+        cum=P() if has_ckpt else P("model", None),
+        C=P(), samples=P(), last_sorted=P(), last_to_run=P(),
+        n=P(), n_seq=P(), max_len=P(),
+        ckpt=P("model", None) if has_ckpt else None,
+    )
+
+
+def _rank_provider(t_local: RIndexTables):
+    """The model-sharded rank6 provider for this shard's table slice:
+    checkpoint rows when present (one local gather + psum), else the
+    binary-search run-table form."""
+    if t_local.ckpt is not None:
+        return lambda pos: distributed_ckpt_rank6(t_local.ckpt, pos,
+                                                  axis="model")
+    return lambda pos: distributed_rank6(
+        t_local.run_start, t_local.run_sym, t_local.cum, pos, axis="model")
+
+
+def make_distributed_mem_step(mesh: Mesh, capacity: int = 16,
+                              tables: RIndexTables | None = None,
+                              mer_m: int = 0):
+    """Returns a jitted step: (tables, codes, lengths, min_len, min_occ
+    [, mer_table, mer_keys, mer_valid])
+    -> (MemResult sharded over 'data', total MEM count replicated).
+
+    `tables` (a host-side template) selects the spec/provider for the
+    checkpoint representation; mer_m > 0 adds the m-mer seed-table arguments
+    (table replicated, per-read keys sharded over 'data')."""
+    specs = run_specs(tables) if tables is not None else run_specs(
+        RIndexTables(*(0,) * 10))
+    mer_in = (P(), P("data", None), P("data", None)) if mer_m else ()
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(_RUN_SPECS, P("data", None), P("data"), P(), P()),
+        in_specs=(specs, P("data", None), P("data"), P(), P(), *mer_in),
         out_specs=(jax.tree.map(lambda _: P("data"), MemResult(*(0,) * 6)), P()),
         check_vma=False,
     )
-    def step(t_local: RIndexTables, codes, lengths, min_len, min_occ):
-        rank6_fn = lambda pos: distributed_rank6(
-            t_local.run_start, t_local.run_sym, t_local.cum, pos, axis="model"
-        )
+    def step(t_local: RIndexTables, codes, lengths, min_len, min_occ, *mer):
+        kw = {}
+        if mer_m:
+            kw = dict(mer_table=mer[0], mer_keys=mer[1], mer_valid=mer[2],
+                      mer_m=mer_m)
         res = find_mems_impl(t_local, codes, lengths, min_len, min_occ,
-                             capacity=capacity, rank6_fn=rank6_fn)
+                             capacity=capacity,
+                             rank6_fn=_rank_provider(t_local), **kw)
         total = jax.lax.psum(res.count.sum(), "data")
         return res, total
 
@@ -58,28 +90,37 @@ def make_distributed_mem_step(mesh: Mesh, capacity: int = 16):
 
 
 def make_distributed_serving_step(mesh: Mesh, capacity: int = 16,
-                                  tag_capacity: int = 32):
+                                  tag_capacity: int = 32,
+                                  tables: RIndexTables | None = None,
+                                  mer_m: int = 0):
     """The FULL serving step over the mesh: MEM finding (model-sharded rank
-    via psum) followed by tag lookups for every found MEM (tag tables
-    replicated; find_mems.cpp:96-139 semantics). Outputs are data-sharded;
-    the total MEM count reduces over 'data'."""
+    via psum - checkpoint rows when the tables carry them) followed by tag
+    lookups for every found MEM (tag tables replicated; find_mems.cpp:96-139
+    semantics). Outputs are data-sharded; the total MEM count reduces over
+    'data'. mer_m > 0 enables the m-mer seed table (replicated) with
+    per-read keys sharded over 'data'."""
+    specs = run_specs(tables) if tables is not None else run_specs(
+        RIndexTables(*(0,) * 10))
+    mer_in = (P(), P("data", None), P("data", None)) if mer_m else ()
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(_RUN_SPECS, jax.tree.map(lambda _: P(), TagTables(0, 0, 0)),
-                  P("data", None), P("data"), P(), P()),
+        in_specs=(specs, jax.tree.map(lambda _: P(), TagTables(0, 0, 0)),
+                  P("data", None), P("data"), P(), P(), *mer_in),
         out_specs=(jax.tree.map(lambda _: P("data"), MemResult(*(0,) * 6)),
                    jax.tree.map(lambda _: P("data"), TagQueryResult(*(0,) * 4)),
                    P()),
         check_vma=False,
     )
-    def step(t_local, tt, codes, lengths, min_len, min_occ):
-        rank6_fn = lambda pos: distributed_rank6(
-            t_local.run_start, t_local.run_sym, t_local.cum, pos, axis="model"
-        )
+    def step(t_local, tt, codes, lengths, min_len, min_occ, *mer):
+        kw = {}
+        if mer_m:
+            kw = dict(mer_table=mer[0], mer_keys=mer[1], mer_valid=mer[2],
+                      mer_m=mer_m)
         res = find_mems_impl(t_local, codes, lengths, min_len, min_occ,
-                             capacity=capacity, rank6_fn=rank6_fn)
+                             capacity=capacity,
+                             rank6_fn=_rank_provider(t_local), **kw)
         B, M = res.bwt_start.shape
         starts = res.bwt_start.reshape(B * M)
         ends = (res.bwt_start + res.size - 1).reshape(B * M)

