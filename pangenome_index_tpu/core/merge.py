@@ -162,7 +162,11 @@ def merge_tags_streamed(gbz: GBZ, idx: RIndex, comp_tags: dict[int, TagArray],
     n, n_seq, r = idx.n, idx.n_seq, idx.n_runs
     comp_of_node = node_components(gbz)
     seq_comp = _seq_components(gbz, comp_of_node, n_seq)
-    cursors = {c: _StreamCursor(t) for c, t in comp_tags.items()}
+    # values may be TagArrays (wrapped in an in-memory cursor) or any
+    # cursor-like object with take(k)/remaining - e.g. the file-backed
+    # formats/tags_stream.PositionCursor that keeps only O(chunk) resident
+    cursors = {c: (_StreamCursor(t) if isinstance(t, TagArray) else t)
+               for c, t in comp_tags.items()}
 
     out_vals: list[np.ndarray] = []
     out_lens: list[np.ndarray] = []
@@ -224,20 +228,24 @@ def merge_tags_pipeline(gbz_path: str, ri_path: str, tags_dir: str, output: str,
     from ..formats import ri as rifmt
     from ..formats.gbz import load_gbz
 
+    from ..formats.tags_stream import PositionCursor, TagRunStream
+
     gbz = load_gbz(gbz_path)
     idx = rifmt.load_file(ri_path)
     comp_of_node = node_components(gbz)
-    comp_tags: dict[int, TagArray] = {}
+    comp_tags: dict[int, PositionCursor] = {}
     for name in sorted(os.listdir(tags_dir)):
         if not name.endswith(".tags"):
             continue
-        # any of the three tag formats (auto-detected); every format's runs
-        # cover the component's non-endmarker BWT rows in its own BWT order
-        tags = tagfmt.load_tags_file(os.path.join(tags_dir, name))
-        first_node = int(tags.pos_enc[0]) >> 11
+        # any of the three tag formats (auto-detected), consumed through a
+        # chunked file cursor so inputs stay O(chunk) resident - the array
+        # analog of the reference's 1M-run ring buffers
+        # (FileReader::refill_tags, merge_tags.cpp:221-245)
+        stream = TagRunStream(os.path.join(tags_dir, name))
+        first_node = stream.peek_first_pos() >> 11
         comp = comp_of_node[first_node]
-        comp_tags[comp] = tags
-        print(f"{name}: component {comp}, {tags.n_runs} runs", file=sys.stderr)
+        comp_tags[comp] = PositionCursor(stream)
+        print(f"{name}: component {comp} ({stream.fmt} stream)", file=sys.stderr)
     merged = merge_tags_streamed(gbz, idx, comp_tags, window=window)
     with open(output, "wb") as fh:
         fh.write(tagfmt.write_compressed_sdsl(
