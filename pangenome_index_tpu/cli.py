@@ -454,6 +454,9 @@ def cmd_convert_tags(args) -> int:
     with open(args.input, "rb") as fh:
         raw = fh.read()
     data = tagfmt.convert_algorithm(raw, compact=args.compact, compat=args.compat)
+    if getattr(args, "wrapped", False):
+        data = tagfmt.wrap_payload(
+            data, "bytecode-compact" if args.compact else "bytecode")
     with open(args.output, "wb") as fh:
         fh.write(data)
     return 0
@@ -625,6 +628,10 @@ def main(argv=None) -> int:
     c.add_argument("--compact", action="store_true")
     c.add_argument("--no-compat", dest="compat", action="store_false",
                    help="skip the int_vector header instead of decoding it as data (reference-bug compat is on by default)")
+    c.add_argument("--wrapped", action="store_true",
+                   help="prefix the output with a self-describing magic + "
+                        "format byte (format detection becomes deterministic;"
+                        " off by default for byte-parity with the reference)")
     c.set_defaults(fn=cmd_convert_tags)
 
     t = sub.add_parser("tags-check")

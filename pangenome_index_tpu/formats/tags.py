@@ -35,6 +35,29 @@ from . import bytecode, sdsl
 
 LENGTH_MASK = MAX_TAG_LEN - 1
 
+#: Optional self-describing wrapper for OUR outputs: the reference formats
+#: carry no magic (the binaries know the format from the producing tool), so
+#: auto-detection of bare payloads is structural arithmetic (see _sniff). A
+#: wrapped file is deterministic: [8-byte magic]["v" u8][fmt u8][payload].
+#: Off by default - bare outputs stay byte-identical to the reference's.
+WRAP_MAGIC = b"PanIdxTg"
+_WRAP_FMTS = ["algorithm", "sdsl", "bytecode", "bytecode-compact"]
+
+
+def wrap_payload(payload: bytes, fmt: str) -> bytes:
+    return WRAP_MAGIC + bytes([1, _WRAP_FMTS.index(fmt)]) + payload
+
+
+def unwrap_payload(data: bytes) -> tuple[bytes, str] | None:
+    """(payload, fmt) if `data` carries the wrapper, else None."""
+    if data[: len(WRAP_MAGIC)] != WRAP_MAGIC:
+        return None
+    version, fmt_code = data[len(WRAP_MAGIC)], data[len(WRAP_MAGIC) + 1]
+    if version != 1 or fmt_code >= len(_WRAP_FMTS):
+        raise ValueError(
+            f"unsupported wrapped .tags version/format {version}/{fmt_code}")
+    return data[len(WRAP_MAGIC) + 2 :], _WRAP_FMTS[fmt_code]
+
 
 # ------------------------------------------------------------- encodings
 
@@ -229,7 +252,17 @@ def load_tags(data: bytes, fmt: str = "auto") -> TagArray:
     arithmetic — the reference's formats carry no magic, the binaries know
     the format from which tool produced the file — with an explicit override
     for the pathological payload that parses as more than one format:
-    'algorithm' | 'sdsl' | 'bytecode' (full values) | 'bytecode-compact'."""
+    'algorithm' | 'sdsl' | 'bytecode' (full values) | 'bytecode-compact'.
+
+    A wrapped payload (wrap_payload) is detected FIRST and dispatched by its
+    recorded format - deterministic, no sniffing."""
+    wrapped = unwrap_payload(data) if len(data) >= 10 else None
+    if wrapped is not None:
+        data, wfmt = wrapped
+        if fmt not in ("auto", wfmt):
+            raise ValueError(
+                f"wrapped .tags declares format {wfmt!r}, --tags-format says {fmt!r}")
+        fmt = wfmt
     if fmt != "auto":
         if fmt == "algorithm":
             return read_algorithm(data)

@@ -197,30 +197,41 @@ class TagRunStream:
     """Forward-only run chunks from a `.tags` file: O(chunk) memory."""
 
     def __init__(self, path, fmt: str = "auto", chunk_runs: int = 1 << 20):
+        from .tags import _WRAP_FMTS, WRAP_MAGIC
+
         self.fh = open(path, "rb")
         self.chunk_runs = chunk_runs
         fsize = os.fstat(self.fh.fileno()).st_size
+        base = 0
+        head = _read_at(self.fh, 0, 16)
+        if head[:8] == WRAP_MAGIC:  # self-describing wrapper: deterministic
+            wfmt = _WRAP_FMTS[head[9]]
+            if fmt not in ("auto", wfmt):
+                raise ValueError(
+                    f"wrapped .tags declares {wfmt!r}, caller says {fmt!r}")
+            fmt, base = wfmt, 10
+            head = _read_at(self.fh, base, 16)
+            fsize -= base
         if fmt == "auto":
-            head = _read_at(self.fh, 0, 16)
             fmt = self._sniff(head, fsize)
         self.fmt = fmt
         self._peeked: tuple[np.ndarray, np.ndarray] | None = None
         if fmt == "algorithm":
-            nbits = int.from_bytes(_read_at(self.fh, 0, 8), "little")
-            self._vs = _VarintStream(self.fh, 8, nbits // 8)
+            nbits = int.from_bytes(_read_at(self.fh, base, 8), "little")
+            self._vs = _VarintStream(self.fh, base + 8, nbits // 8)
             self._iv = None
             self._sd = None
         elif fmt == "sdsl":
-            self._iv = _IntVectorSlice(self.fh, 0)
+            self._iv = _IntVectorSlice(self.fh, base)
             off = _skip_select_struct_sd(self.fh, self._iv.end)
             self._sd = _SdPositionStream(self.fh, off)
             self._vs = None
             self._idx = 0
             self._prev_start = None
         elif fmt in ("bytecode", "bytecode-compact"):
-            nbytes = int.from_bytes(_read_at(self.fh, 0, 8), "little")
-            self._vs = _VarintStream(self.fh, 8, nbytes)
-            off = _skip_select_struct_sd(self.fh, 8 + nbytes)
+            nbytes = int.from_bytes(_read_at(self.fh, base, 8), "little")
+            self._vs = _VarintStream(self.fh, base + 8, nbytes)
+            off = _skip_select_struct_sd(self.fh, base + 8 + nbytes)
             self._sd = _SdPositionStream(self.fh, off)
             self._iv = None
             self._prev_start = None
