@@ -277,7 +277,10 @@ def main():
     reads = synth_reads(lines, N_READS, READ_LEN, error_rate=0.01, seed=1)
     codes, lens = encode_reads(reads, N_READS, READ_LEN)
 
-    m = serve_measure(idx, codes, lens, mer_cache_dir=cache)
+    # chunk=None = the measurement autotune (races 4096 vs 8192 warm on the
+    # first reads): the lane optimum is workload-dependent (PERF.md), so the
+    # bench default routes through the same autotune the CLI ships
+    m = serve_measure(idx, codes, lens, chunk=None, mer_cache_dir=cache)
     device_rps = m["device_rps"]
 
     # CPU baseline: native C++ engine (single thread - the per-core baseline;

@@ -24,10 +24,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _phase_logger():
+    t_prev = time.perf_counter()
+
+    def log(name, detail=""):
+        nonlocal t_prev
+        now = time.perf_counter()
+        peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        print(f"[scale] {name}: {now - t_prev:.1f}s"
+              f"{' (' + detail + ')' if detail else ''}"
+              f" | running-peak RSS {peak_gb:.1f} GB", flush=True)
+        t_prev = time.perf_counter()
+        return now
+
+    return log
+
+
 def main():
     total_mbp = float(sys.argv[1]) if len(sys.argv) > 1 else 100.0
     n_haps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     base_len = int(total_mbp * 1e6 / n_haps)
+    workdir = sys.argv[3] if len(sys.argv) > 3 else None
+
+    import numpy as np
 
     from pangenome_index_tpu import native
     from pangenome_index_tpu.core.tagbuild import build_tags
@@ -36,36 +55,51 @@ def main():
     from pangenome_index_tpu.utils.synth import synth_graph_gbz
 
     assert native.available(), "native toolchain required for the scale bench"
+    log = _phase_logger()
+    t_start = time.perf_counter()
 
-    t0 = time.perf_counter()
     gbz, lines = synth_graph_gbz(base_len, n_haps, site_rate=0.002, seed=17)
-    t_graph = time.perf_counter() - t0
     n_chars = sum(len(l) for l in lines)
-    print(f"[scale] graph+GBWT: {t_graph:.1f}s "
-          f"({len(gbz.graph.sequences)} nodes, {gbz.index.sequences} seqs, "
-          f"{n_chars/1e6:.0f} Mbp text)", flush=True)
+    log("graph+GBWT", f"{len(gbz.graph.sequences)} nodes, "
+        f"{gbz.index.sequences} seqs, {n_chars/1e6:.0f} Mbp text")
 
-    t0 = time.perf_counter()
     bwt, da, sa_pos, seq_lengths = native.build_bwt_native(lines)
-    t_bwt = time.perf_counter() - t0
-    print(f"[scale] SA-IS BWT: {t_bwt:.1f}s ({len(bwt)/1e6:.1f}M rows)", flush=True)
+    log("SA-IS BWT", f"{len(bwt)/1e6:.1f}M rows")
+    del lines
 
-    t0 = time.perf_counter()
     rl = rlbwt_from_text(bwt.tobytes())
     idx = build_rindex(rl, _sa_hint=(da, sa_pos, seq_lengths), keep_sa=True)
-    t_ri = time.perf_counter() - t0
-    print(f"[scale] r-index: {t_ri:.1f}s (r={idx.n_runs}, n/r={idx.n/idx.n_runs:.1f})",
-          flush=True)
+    log("r-index", f"r={idx.n_runs}, n/r={idx.n/idx.n_runs:.1f}")
 
-    t0 = time.perf_counter()
     tags = build_tags(gbz, idx)
-    t_tags = time.perf_counter() - t0
-    print(f"[scale] tags: {t_tags:.1f}s ({tags.n_runs} runs)", flush=True)
+    log("tags", f"{tags.n_runs} runs")
 
-    total = t_graph + t_bwt + t_ri + t_tags
+    total = time.perf_counter() - t_start
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(f"[scale] TOTAL text->index+tags: {total:.1f}s for {n_chars/1e6:.0f} Mbp "
-          f"({n_chars/total/1e6:.2f} Mbp/s, peak RSS {peak_gb:.1f} GB)", flush=True)
+          f"({n_chars/total/1e6:.2f} Mbp/s, peak RSS {peak_gb:.1f} GB "
+          f"= {peak_gb*1e9/n_chars:.1f} B/char)", flush=True)
+
+    if workdir:
+        # the serving-artifact phases: encoded .ri serialize + reload (the
+        # genome-scale ingest path, formats/ri.py vectorized decode) and the
+        # checkpoint-table build (ops/tables.build_ckpt_rows, chunked)
+        from pangenome_index_tpu.formats import ri as rifmt
+        from pangenome_index_tpu.ops.tables import build_ckpt_rows
+
+        log2 = _phase_logger()
+        path = os.path.join(workdir, f"scale_{int(total_mbp)}m_{n_haps}h.ri")
+        data = rifmt.serialize_encoded(idx)
+        with open(path, "wb") as fh:
+            fh.write(data)
+        log2("serialize_encoded .ri", f"{len(data)/1e6:.0f} MB")
+        idx2 = rifmt.load_file(path)
+        t_load = log2(".ri load (vectorized)",
+                      f"{idx2.n_runs/1e6:.1f}M runs")
+        assert np.array_equal(idx2.run_len, idx.run_len)
+        rows = build_ckpt_rows(idx2, 64)
+        log2("ckpt table build (chunked)",
+             f"{rows.nbytes/1e6:.0f} MB = {rows.nbytes/idx.n:.2f} B/pos")
 
 
 if __name__ == "__main__":

@@ -256,10 +256,12 @@ def _decode_legacy_runs(buf: io.BytesIO, n_blocks: int, ncp: int,
             np.concatenate([run_len, np.asarray(tail_len, np.int64)]))
 
 
-def load(data: bytes) -> RIndex:
+def load(data) -> RIndex:
     """Load either format (load_encoded transparently falls back to legacy,
-    r-index.cpp:407-459)."""
-    buf = io.BytesIO(data)
+    r-index.cpp:407-459). `data` may be bytes or any seekable file-like
+    (including an mmap object - only the sections being parsed are ever
+    copied, so mmap loads are genuinely zero-copy at the file level)."""
+    buf = io.BytesIO(data) if isinstance(data, (bytes, bytearray)) else data
     tag = int.from_bytes(buf.read(4), "little")
     if tag != TAG:
         raise ValueError(f"invalid .ri tag {tag:#x}")
@@ -370,15 +372,16 @@ def file_sections(data: bytes) -> list[tuple[str, int]]:
 
 
 def load_file(path, use_mmap: bool = False) -> RIndex:
-    """use_mmap avoids copying the file into anonymous memory before parsing
-    (the role of the reference's MemoryMappedIndexManager,
-    memory_mapped_index.hpp:21-148; unlike it, parsing here reads each region
-    once into flat arrays rather than re-deserializing a copied stream)."""
+    """use_mmap parses straight out of the mapping - no anonymous-memory
+    copy of the file (the reference's MemoryMappedIndexManager mmaps and then
+    copies into a stringstream to re-deserialize, memory_mapped_index.hpp:
+    74-85; here the mmap object is the parse buffer itself, so clean pages
+    stay evictable and only the decoded flat arrays are owned memory)."""
     if use_mmap:
         import mmap as _mmap
 
         with open(path, "rb") as fh:
             with _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ) as mm:
-                return load(bytes(mm))
+                return load(mm)
     with open(path, "rb") as fh:
         return load(fh.read())

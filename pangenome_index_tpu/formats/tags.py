@@ -175,21 +175,30 @@ def convert_algorithm(raw: bytes, compact: bool = False, compat: bool = True) ->
     return _write_compressed_bytecode_values(out_values, lengths)
 
 
+def _as_buf(data):
+    """bytes -> fresh BytesIO; file-likes (incl. mmap objects) pass through,
+    rewound - so mmap loads never copy the whole file."""
+    if isinstance(data, (bytes, bytearray)):
+        return io.BytesIO(data)
+    data.seek(0)
+    return data
+
+
 def _finish(pos_enc: np.ndarray, intervals: sdsl.SdVector) -> TagArray:
     starts = intervals.positions.astype(np.int64)
     return TagArray(pos_enc=pos_enc, bwt_start=starts, total=int(intervals.size) - 1)
 
 
-def read_compressed_sdsl(data: bytes) -> TagArray:
-    buf = io.BytesIO(data)
+def read_compressed_sdsl(data) -> TagArray:
+    buf = _as_buf(data)
     pos_enc, _ = sdsl.read_int_vector(buf)
     sdsl.read_sd_vector(buf)  # item-index samples (recomputable)
     intervals = sdsl.read_sd_vector(buf)
     return _finish(pos_enc, intervals)
 
 
-def read_compressed_bytecode(data: bytes) -> TagArray:
-    buf = io.BytesIO(data)
+def read_compressed_bytecode(data) -> TagArray:
+    buf = _as_buf(data)
     nbytes = sdsl.read_u64(buf)
     stream = buf.read(nbytes)
     values = bytecode.decode_stream(stream)
@@ -269,7 +278,7 @@ def load_tags(data: bytes, fmt: str = "auto") -> TagArray:
         if fmt == "sdsl":
             return read_compressed_sdsl(data)
         if fmt in ("bytecode", "bytecode-compact"):
-            buf = io.BytesIO(data)
+            buf = _as_buf(data)
             nbytes = sdsl.read_u64(buf)
             values = bytecode.decode_stream(buf.read(nbytes))
             sdsl.read_sd_vector(buf)
@@ -296,11 +305,15 @@ def load_tags(data: bytes, fmt: str = "auto") -> TagArray:
 
 
 def load_tags_file(path, use_mmap: bool = False, fmt: str = "auto") -> TagArray:
+    """use_mmap parses straight out of the mapping (no anonymous-memory copy
+    of the file; the decoded run arrays are the only owned allocation). The
+    reference's mmap managers copy into a stringstream first
+    (memory_mapped_index.hpp:74-85)."""
     if use_mmap:
         import mmap as _mmap
 
         with open(path, "rb") as fh:
             with _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ) as mm:
-                return load_tags(bytes(mm), fmt=fmt)
+                return load_tags(mm, fmt=fmt)
     with open(path, "rb") as fh:
         return load_tags(fh.read(), fmt=fmt)
