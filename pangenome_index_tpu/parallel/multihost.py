@@ -51,6 +51,19 @@ def global_mesh(n_model: int = 1) -> Mesh:
     return Mesh(devs[: n_data * n_model].reshape(n_data, n_model), ("data", "model"))
 
 
+def put_global(mesh: Mesh, pytree, specs):
+    """Place a host-replicated pytree (e.g. the index tables every process
+    loaded from the same files) onto a multi-process mesh under the given
+    PartitionSpecs: each process contributes exactly its addressable shards
+    (jax.make_array_from_callback), so no host ships bytes it does not own."""
+    def put(x, spec):
+        x = np.asarray(x)
+        s = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree.map(put, pytree, specs)
+
+
 def global_read_batch(mesh: Mesh, local_codes: np.ndarray, local_lengths: np.ndarray):
     """Assemble a globally data-sharded read batch from per-process shards."""
     sharding = NamedSharding(mesh, P("data", None))

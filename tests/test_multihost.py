@@ -4,6 +4,7 @@ assembly + global batch construction on the virtual device pool)."""
 
 import jax
 import numpy as np
+import os
 import pytest
 
 from pangenome_index_tpu.parallel.multihost import global_mesh, global_read_batch, init_distributed
@@ -49,3 +50,31 @@ def test_stitch_rle_shards_empty():
 
     v, l = stitch_rle_shards([])
     assert len(v) == 0 and len(l) == 0
+
+
+def test_two_process_distributed_serving(tmp_path):
+    """REAL two-process jax.distributed run (gloo CPU collectives, local
+    coordinator): the model-sharded ckpt serving step over a global mesh
+    spanning both processes, each verifying its local shards against a
+    single-device reference."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    outs = [str(tmp_path / f"w{i}.txt") for i in range(2)]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(port), str(i), "2", outs[i]],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+        for i in range(2)]
+    errs = [p.communicate(timeout=300)[1] for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, errs[i].decode(errors="replace")[-2000:]
+    for o in outs:
+        with open(o) as fh:
+            assert fh.read() == "OK"
