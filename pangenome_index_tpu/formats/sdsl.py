@@ -186,6 +186,27 @@ def read_select_mcl(buf) -> SelectMcl:
     return SelectMcl(arg_cnt, superblock, sb_width, mini_or_long, blocks)
 
 
+def skip_select_mcl(buf) -> None:
+    """Advance past a serialized select_support_mcl without decoding it
+    (the structures are recomputable; decoding them per-superblock was the
+    dominant Python-loop cost of genome-scale sd_vector loads)."""
+    arg_cnt = read_u64(buf)
+    if arg_cnt == 0:
+        return
+    sb = (arg_cnt + SUPER_BLOCK_SIZE - 1) // SUPER_BLOCK_SIZE
+
+    def skip_iv(width_byte: bool):
+        nbits = read_u64(buf)
+        if width_byte:
+            buf.read(1)
+        buf.seek(((nbits + 63) // 64) * 8, 1)
+
+    skip_iv(True)          # superblock int_vector<0>
+    skip_iv(False)         # mini_or_long bit_vector
+    for _ in range(sb):
+        skip_iv(True)      # per-superblock miniblock / longsuperblock
+
+
 def write_select_mcl(buf, s: SelectMcl) -> None:
     write_u64(buf, s.arg_cnt)
     if s.arg_cnt == 0:
@@ -290,8 +311,8 @@ def read_sd_vector(buf) -> SdVector:
     wl = buf.read(1)[0]
     low, low_width = read_int_vector(buf)
     high = read_bit_vector(buf)
-    read_select_mcl(buf)  # high_1_select (recomputable)
-    read_select_mcl(buf)  # high_0_select
+    skip_select_mcl(buf)  # high_1_select (recomputable)
+    skip_select_mcl(buf)  # high_0_select
     m = len(low)
     if m:
         ones_idx = np.flatnonzero(high == 1)
