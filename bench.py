@@ -36,6 +36,13 @@ MER_M = 12
 # within-run sweeps (work homogeneity beats more rows in flight; the
 # checkpoint-era 8192 optimum predated async dispatch)
 CHUNK = 4096
+# MEM buffer capacity for BOTH engines: per-lane emission buffers carried
+# through the loop cost real HBM traffic (ablate_serving: 24us/iter at 32,
+# ~10us at 8), counts stay EXACT past the capacity on both engines (device:
+# ops/mems.py emission one-hot masks out, cnt unconditional; native:
+# panindex_native.cpp:126-129), and overflow is flagged for refind - so 8 is
+# the shipped bounded-capacity serving contract (PERF.md round 3)
+MEM_CAP = 8
 
 
 def setup_compilation_cache():
@@ -136,7 +143,7 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                   for k, v in mer_kw.items()}
             pending.append(find_mems_batch(
                 t, codes_d[s : s + chunk], lens_d[s : s + chunk],
-                min_len, min_occ, capacity=32, **kw))
+                min_len, min_occ, capacity=MEM_CAP, **kw))
         # dispatch every chunk before the first host fetch: jax dispatch is
         # async, so the chunks queue back-to-back on the device instead of
         # paying one tunnel round-trip of idle time between chunks
@@ -157,10 +164,10 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
             kw = {k: (v[:sub] if k in ("mer_keys", "mer_valid") else v)
                   for k, v in mer_kw.items()}
             np.asarray(find_mems_batch(t, codes_d[:sub], lens_d[:sub], min_len,
-                                       min_occ, capacity=32, **kw).count)  # compile
+                                       min_occ, capacity=MEM_CAP, **kw).count)  # compile
             t0 = time.perf_counter()
             np.asarray(find_mems_batch(t, codes_d[:sub], lens_d[:sub], min_len,
-                                       min_occ, capacity=32, **kw).count)
+                                       min_occ, capacity=MEM_CAP, **kw).count)
             dt = (time.perf_counter() - t0) / sub
             log(f"[bench] autotune chunk={cand}: {1/dt:.0f} reads/s")
             if best_dt is None or dt < best_dt:
@@ -238,7 +245,7 @@ def native_baseline(idx, codes, lens, counts=None, n_threads=1, nb=256,
     nb = min(len(codes), nb)
     t0 = time.perf_counter()
     s, e, b, z, cnt = native.find_mems_native(
-        idx, codes[:nb], lens[:nb], min_len, min_occ, capacity=32,
+        idx, codes[:nb], lens[:nb], min_len, min_occ, capacity=MEM_CAP,
         n_threads=n_threads)
     host_dt = time.perf_counter() - t0
     host_rps = nb / host_dt
