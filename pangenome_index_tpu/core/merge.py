@@ -223,7 +223,7 @@ def merge_tags_streamed(gbz: GBZ, idx: RIndex, comp_tags: dict[int, TagArray],
 
 
 def merge_tags_pipeline(gbz_path: str, ri_path: str, tags_dir: str, output: str,
-                        window: int = 1 << 22) -> int:
+                        window: int = 1 << 22, chunk_runs: int = 1 << 20) -> int:
     from ..formats import tags as tagfmt
     from ..formats import ri as rifmt
     from ..formats.gbz import load_gbz
@@ -241,7 +241,7 @@ def merge_tags_pipeline(gbz_path: str, ri_path: str, tags_dir: str, output: str,
         # chunked file cursor so inputs stay O(chunk) resident - the array
         # analog of the reference's 1M-run ring buffers
         # (FileReader::refill_tags, merge_tags.cpp:221-245)
-        stream = TagRunStream(os.path.join(tags_dir, name))
+        stream = TagRunStream(os.path.join(tags_dir, name), chunk_runs=chunk_runs)
         first_node = stream.peek_first_pos() >> 11
         comp = comp_of_node[first_node]
         comp_tags[comp] = PositionCursor(stream)

@@ -35,7 +35,8 @@ def synth_haplotypes(base_len: int, n_haps: int, snp_rate: float = 0.002,
 
 
 def synth_graph_gbz(base_len: int, n_haps: int, site_rate: float = 0.002,
-                    seed: int = 0, max_node_len: int = 1024):
+                    seed: int = 0, max_node_len: int = 1024,
+                    first_id: int = 1, _raw: bool = False):
     """Synthetic pangenome GRAPH + matching haplotype texts: a backbone
     segmented at shared variant sites (each site a 2-allele bubble), each
     haplotype a path picking ref/alt per site. Returns (GBZ, lines) where
@@ -63,7 +64,7 @@ def synth_graph_gbz(base_len: int, n_haps: int, site_rate: float = 0.002,
     # node ids in genomic order: gap g's chunks, then site g's (ref, alt)
     ids_per_gap = chunks_per_gap + 2                # last gap has no site
     ids_per_gap[-1] -= 2
-    gap_id0 = np.concatenate(([1], 1 + np.cumsum(ids_per_gap)))[:-1]
+    gap_id0 = np.concatenate(([first_id], first_id + np.cumsum(ids_per_gap)))[:-1]
 
     node_seqs: dict[int, bytes] = {}
     skeleton: list[np.ndarray] = []
@@ -101,7 +102,35 @@ def synth_graph_gbz(base_len: int, n_haps: int, site_rate: float = 0.002,
         m = hap_alt[h]
         line[site_pos[m]] = alt[m]
         lines.append(line.tobytes())
+    if _raw:
+        return node_seqs, paths, lines
     return gbz_from_graph(node_seqs, paths), lines
+
+
+def synth_multi_component_gbz(base_len: int, n_haps: int, n_comps: int = 2,
+                              site_rate: float = 0.002, seed: int = 0,
+                              max_node_len: int = 1024):
+    """A whole-"genome" GBZ with n_comps weakly-connected components (one per
+    synthetic chromosome) + the per-component sub-GBZs carrying the SAME node
+    ids - the shape `merge-tags` consumes (per-chromosome build_tags shards +
+    the whole-genome graph, README.md:103-133). Returns
+    (whole_gbz, [sub_gbz...], [comp_lines...])."""
+    from ..core.gbwt_build import gbz_from_graph
+
+    all_nodes: dict[int, bytes] = {}
+    all_paths: list[np.ndarray] = []
+    subs, comp_lines = [], []
+    first_id = 1
+    for c in range(n_comps):
+        nodes, paths, lines = synth_graph_gbz(
+            base_len, n_haps, site_rate=site_rate, seed=seed + 101 * c,
+            max_node_len=max_node_len, first_id=first_id, _raw=True)
+        all_nodes.update(nodes)
+        all_paths.extend(paths)
+        subs.append(gbz_from_graph(nodes, paths))
+        comp_lines.append(lines)
+        first_id = max(nodes) + 1
+    return gbz_from_graph(all_nodes, all_paths), subs, comp_lines
 
 
 def synth_reads(lines: list[bytes], n_reads: int, read_len: int,
