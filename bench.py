@@ -32,9 +32,9 @@ MIN_LEN = 20
 MIN_OCC = 1
 BASELINE_READS = 24
 MER_M = 12
-# lanes per launch: with async chunk dispatch, 4096 wins at every scale in
-# within-run sweeps (work homogeneity beats more rows in flight; the
-# checkpoint-era 8192 optimum predated async dispatch)
+# fallback lanes per launch when the caller pins a chunk; the shipped default
+# is the measurement autotune (chunk=None races 4096 vs 8192 - the optimum is
+# workload-dependent: shallow configs pick 4096, depth90 picks 8192, PERF.md)
 CHUNK = 4096
 # MEM buffer capacity for BOTH engines: per-lane emission buffers carried
 # through the loop cost real HBM traffic (ablate_serving: 24us/iter at 32,
@@ -93,11 +93,12 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                                         ckpt_block=ckpt_block), dev)
 
     # m-mer seed table (skips the first m extensions of MEM steps 1 and 3).
-    # Device execution is ~1.5s but the builder's XLA compile is 90s+ per
-    # process (the persistent compile cache does not hold under the axon
-    # backend), so the table is persisted next to the bench cache - a pure
-    # function of (index, m) - and loaded through one ~7s device_put
-    # (the production engines do the same, cli.py find-mems).
+    # Device execution is ~1.5s but the builder's XLA compile is 90s+ cold
+    # and the table shape depends on the index, so the table is persisted
+    # next to the bench cache - a pure function of (index, m) - and loaded
+    # through one ~7s device_put (the production engines do the same,
+    # cli.py find-mems). The transfer rides the tunnel: under congestion it
+    # has been observed to take minutes.
     t0 = time.perf_counter()
     mer_table = None
     cache_path = None
