@@ -80,3 +80,23 @@ def test_peek_first_pos(big_tags):
         v, l = st.read_runs()
         assert v[0] == tags.pos_enc[0]
         st.close()
+
+
+def test_stream_reads_wrapped_files(big_tags, tmp_path):
+    tags, files = big_tags
+    data = tagfmt.wrap_payload(files["sdsl"].read_bytes(), "sdsl")
+    p = tmp_path / "wrapped.tags"
+    p.write_bytes(data)
+    st = TagRunStream(p, chunk_runs=997)
+    assert st.fmt == "sdsl"
+    ps, ls = [], []
+    while True:
+        v, l = st.read_runs()
+        if len(v) == 0:
+            break
+        ps.append(v)
+        ls.append(l)
+    np.testing.assert_array_equal(np.concatenate(ps), tags.pos_enc)
+    np.testing.assert_array_equal(np.concatenate(ls), tags.run_lengths())
+    with pytest.raises(ValueError):
+        TagRunStream(p, fmt="algorithm")
