@@ -60,3 +60,39 @@ def test_mems_min_occ_huge(setup):
     codes, lens = _pack([b"ACGTACGTACGTACGT"])
     res = find_mems_batch(t, codes, lens, 4, 10**6, capacity=8)
     assert int(res.count[0]) == len(find_all_mems(idx, b"ACGTACGTACGTACGT", 4, 10**6))
+
+
+@pytest.mark.parametrize("min_occ", [1, 2, 5])
+@pytest.mark.parametrize("capacity", [1, 3])
+def test_seeded_loop_matches_scalar_randomized(setup, min_occ, capacity):
+    """Randomized stress of the round-3 loop (shared phase-5 seed block,
+    packed emission buffers, tiny capacities): per-MEM equality with the
+    scalar reference for every (min_occ, capacity), seeded and unseeded."""
+    from pangenome_index_tpu.ops.mertable import build_mer_table, read_mer_keys
+
+    idx, t = setup
+    tc = rindex_to_device(idx, checkpoint=True)
+    rng = np.random.default_rng(77)
+    reads = []
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    for i in range(24):
+        L = int(rng.integers(8, 40))
+        reads.append(alpha[rng.integers(0, 5, L)].tobytes())
+    codes, lens = _pack(reads)
+    min_len = 6
+    mer_m = 4
+    mt = build_mer_table(idx, mer_m)
+    mk, mv = read_mer_keys(np.asarray(codes), np.asarray(lens), mer_m)
+    for kw in ({}, dict(mer_table=jnp.asarray(mt, tc.pos_dtype),
+                        mer_keys=jnp.asarray(mk), mer_valid=jnp.asarray(mv),
+                        mer_m=mer_m)):
+        res = find_mems_batch(tc, codes, lens, min_len, min_occ,
+                              capacity=capacity, **kw)
+        for i, r in enumerate(reads):
+            want = find_all_mems(idx, r, min_len, min_occ)
+            assert int(res.count[i]) == len(want)
+            assert bool(res.overflow[i]) == (len(want) > capacity)
+            for m, mm in enumerate(want[:capacity]):
+                got = (int(res.start[i, m]), int(res.end[i, m]),
+                       int(res.bwt_start[i, m]), int(res.size[i, m]))
+                assert got == (mm.start, mm.end, mm.bwt_start, mm.size)
