@@ -14,6 +14,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU sitecustomize force-registers its platform via jax.config
+    # (overriding the env var); honor an explicit CPU request the same way
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import pangenome_index_tpu as px
 from pangenome_index_tpu.core.gbwt_build import random_pangenome_gbz
 from pangenome_index_tpu.core.tagbuild import build_tags
