@@ -1,5 +1,12 @@
 """Serving-loop cost ablation (round-3 optimization, VERDICT item 1).
 
+CAVEAT learned the hard way: the synthetic seed tables below are zeros/ones,
+which XLA CONSTANT-FOLDS — the `2seed_onehot` variant therefore measured ~0
+while the real seed block costs ~8.5us/iter of genuine [B, L+1] table reads
+(PERF.md round 3). When ablating a memory-bound component, feed it data the
+compiler cannot fold away (e.g. device-put random tables); the capacity-A/B
+(find_mems_batch capacity=32 vs 2) was the trustworthy probe here.
+
 Within ONE process (the tunnel has +-20-30% run-to-run variance, so only
 within-run A/B is trusted), measures:
 
