@@ -28,6 +28,7 @@ Semantics preserved exactly from the reference:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -187,6 +188,14 @@ class RIndex:
         return (t[1], t[0], t[2])
 
 
+def _native_walk_available() -> bool:
+    if os.environ.get("PANIDX_NO_NATIVE_WALK"):
+        return False
+    from .. import native
+
+    return native.available() and hasattr(native.get_lib(), "panindex_psi_walk")
+
+
 def build_rindex_from_sa(rlbwt: RLBWT, seq_of_row: np.ndarray, pos_of_row: np.ndarray,
                          seq_lengths: np.ndarray) -> RIndex:
     """Construction fast path when the suffix array is already known (e.g.
@@ -263,6 +272,26 @@ def build_rindex(rlbwt: RLBWT, progress: bool = False, _sa_hint=None,
 
         if keep_sa:
             idx.sa_seq, idx.sa_pos, idx.seq_lengths = seq_of_row, pos_of_row, seq_len
+    elif not keep_sa and _native_walk_available():
+        # --- run-length-bounded native walk (src/cpp/psi_walk.cpp) ---
+        # Memory stays O(r): samples are recorded at run heads/tails during
+        # the walk itself, so neither the psi permutation nor any per-row
+        # array is ever materialized (the numpy fallback below needs
+        # ~25 B/char of those). Same reference semantics: per-sequence psi
+        # walk + distance-flipped offsets (r-index.cpp:1025-1094).
+        from .. import native
+
+        psi_base = C[run_sym.astype(np.int64)] + cum[np.arange(r), run_sym.astype(np.int64)]
+        h_seq, h_t, t_seq, t_t, seq_len = native.psi_walk_native(
+            run_start, psi_base, run_sym == 0, n, n_seq)
+        max_len = int(seq_len.max())
+        idx.max_len = max_len
+        idx.samples = h_seq * max_len + (seq_len[h_seq] - 1 - h_t)
+        tail_packed = t_seq * max_len + (seq_len[t_seq] - 1 - t_t)
+        order = np.argsort(tail_packed, kind="stable")
+        idx.last_sorted = tail_packed[order]
+        idx.last_to_run = order.astype(np.int64)
+        return idx
     else:
         # --- lane-per-sequence psi walk assigning (seq, step) to every row ---
         pi = idx.psi_perm()

@@ -21,7 +21,8 @@ _lib = None
 
 
 def _build() -> bool:
-    srcs = [_SRC / "panindex_native.cpp", _SRC / "sais.cpp", _SRC / "gbwt_decode.cpp"]
+    srcs = [_SRC / "panindex_native.cpp", _SRC / "sais.cpp", _SRC / "gbwt_decode.cpp",
+            _SRC / "psi_walk.cpp"]
     if not all(s.exists() for s in srcs):
         return False
     if _LIB.exists() and all(_LIB.stat().st_mtime >= s.stat().st_mtime for s in srcs):
@@ -165,3 +166,33 @@ def count_native(idx, codes: np.ndarray, lengths: np.ndarray, n_threads: int = 0
         ctypes.c_int32(n_threads),
     )
     return first, second
+
+
+def psi_walk_native(run_start: np.ndarray, psi_base: np.ndarray,
+                    is_end: np.ndarray, n: int, n_seq: int,
+                    n_threads: int = 0):
+    """Run-length-bounded psi walk (src/cpp/psi_walk.cpp): the O(r)-memory
+    replacement for the numpy full-permutation walk in build_rindex. Returns
+    (head_seq, head_t, tail_seq, tail_t, seq_len) - lane + step at every run
+    head/tail plus per-sequence lengths (incl. endmarker)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    run_start = np.ascontiguousarray(run_start, np.int64)
+    psi_base = np.ascontiguousarray(psi_base, np.int64)
+    is_end = np.ascontiguousarray(is_end, np.uint8)
+    r = run_start.size
+    head_seq = np.zeros(r, np.int64)
+    head_t = np.zeros(r, np.int64)
+    tail_seq = np.zeros(r, np.int64)
+    tail_t = np.zeros(r, np.int64)
+    seq_len = np.zeros(n_seq, np.int64)
+    lib.panindex_psi_walk(
+        _ptr(run_start, ctypes.c_int64), _ptr(psi_base, ctypes.c_int64),
+        _ptr(is_end, ctypes.c_uint8),
+        ctypes.c_int64(r), ctypes.c_int64(n), ctypes.c_int64(n_seq),
+        _ptr(head_seq, ctypes.c_int64), _ptr(head_t, ctypes.c_int64),
+        _ptr(tail_seq, ctypes.c_int64), _ptr(tail_t, ctypes.c_int64),
+        _ptr(seq_len, ctypes.c_int64), ctypes.c_int32(n_threads),
+    )
+    return head_seq, head_t, tail_seq, tail_t, seq_len

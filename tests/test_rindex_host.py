@@ -74,3 +74,20 @@ def test_rlbwt_roundtrip(tmp_path, ref_data):
         out = tmp_path / "out.rl_bwt"
         write_rlbwt(out, rl)
         assert out.read_bytes() == (ref_data / name).read_bytes()
+
+
+@pytest.mark.parametrize("txt,rl", FIXTURES)
+def test_native_walk_matches_numpy_walk(ref_data, txt, rl, monkeypatch):
+    """The O(r)-memory native psi walk (src/cpp/psi_walk.cpp) must place the
+    exact samples/last structures of the numpy full-permutation walk."""
+    from pangenome_index_tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    rlbwt = read_rlbwt(ref_data / rl)
+    a = build_rindex(rlbwt)
+    monkeypatch.setenv("PANIDX_NO_NATIVE_WALK", "1")
+    b = build_rindex(rlbwt)
+    assert a.max_len == b.max_len
+    for fld in ("samples", "last_sorted", "last_to_run"):
+        np.testing.assert_array_equal(getattr(a, fld), getattr(b, fld))
