@@ -28,6 +28,23 @@ import numpy as np
 
 # ---------------------------------------------------------------- bit packing
 
+# Route bit-field (un)packing through the native single-pass kernels
+# (src/cpp/bitio.cpp) above this element count; below it, ctypes call
+# overhead beats the numpy temporaries. PANIDX_NO_NATIVE_BITIO forces the
+# pure-numpy paths (used by tests to prove equality).
+_NATIVE_MIN = 4096
+
+
+def _bitio() -> bool:
+    import os
+
+    if os.environ.get("PANIDX_NO_NATIVE_BITIO"):
+        return False
+    from .. import native
+
+    return native.available() and hasattr(native.get_lib(), "panindex_unpack_bits")
+
+
 def _words_to_bits(words: np.ndarray, nbits: int) -> np.ndarray:
     """uint64 LE words -> bit array (LSB-first within each word)."""
     byts = words.astype("<u8").view(np.uint8)
@@ -58,6 +75,10 @@ def _words_to_values(words: np.ndarray, width: int, count: int) -> np.ndarray:
     genome-scale `.ri`/`.tags` loads)."""
     if count == 0 or width == 0:
         return np.zeros(count, dtype=np.int64)
+    if count >= _NATIVE_MIN and _bitio():
+        from .. import native
+
+        return native.unpack_bits_native(words, width, count)
     w = np.concatenate([words.astype("<u8"), np.zeros(1, "<u8")])
     bitpos = np.arange(count, dtype=np.uint64) * np.uint64(width)
     lo = (bitpos >> np.uint64(6)).astype(np.int64)
@@ -77,6 +98,10 @@ def _values_to_words(values: np.ndarray, width: int) -> np.ndarray:
     nwords = (n * width + 63) // 64
     if n == 0 or width == 0:
         return np.zeros(nwords, dtype="<u8")
+    if n >= _NATIVE_MIN and _bitio():
+        from .. import native
+
+        return native.pack_bits_native(np.asarray(values), width)
     v = np.asarray(values).astype(np.uint64)
     if width < 64:
         v &= (np.uint64(1) << np.uint64(width)) - np.uint64(1)
@@ -310,12 +335,19 @@ def read_sd_vector(buf) -> SdVector:
     size = read_u64(buf)
     wl = buf.read(1)[0]
     low, low_width = read_int_vector(buf)
-    high = read_bit_vector(buf)
+    nbits = read_u64(buf)
+    nwords = (nbits + 63) // 64
+    high_words = np.frombuffer(buf.read(nwords * 8), dtype="<u8")
     skip_select_mcl(buf)  # high_1_select (recomputable)
     skip_select_mcl(buf)  # high_0_select
     m = len(low)
     if m:
-        ones_idx = np.flatnonzero(high == 1)
+        if m >= _NATIVE_MIN and _bitio():
+            from .. import native
+
+            ones_idx = native.set_bits_native(high_words, nbits, m)
+        else:
+            ones_idx = np.flatnonzero(_words_to_bits(high_words, nbits) == 1)
         hi_vals = ones_idx - np.arange(m)
         positions = (hi_vals.astype(np.int64) << wl) | low
     else:

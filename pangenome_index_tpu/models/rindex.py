@@ -272,18 +272,22 @@ def build_rindex(rlbwt: RLBWT, progress: bool = False, _sa_hint=None,
 
         if keep_sa:
             idx.sa_seq, idx.sa_pos, idx.seq_lengths = seq_of_row, pos_of_row, seq_len
-    elif not keep_sa and _native_walk_available():
+    elif _native_walk_available():
         # --- run-length-bounded native walk (src/cpp/psi_walk.cpp) ---
         # Memory stays O(r): samples are recorded at run heads/tails during
         # the walk itself, so neither the psi permutation nor any per-row
         # array is ever materialized (the numpy fallback below needs
-        # ~25 B/char of those). Same reference semantics: per-sequence psi
-        # walk + distance-flipped offsets (r-index.cpp:1025-1094).
+        # ~25 B/char of those). keep_sa builds ask the same walk for the
+        # per-row (lane, step) arrays the tag gather consumes - O(n) output,
+        # but no O(n) walk temporaries and a ~40x faster walk. Same reference
+        # semantics: per-sequence psi walk + distance-flipped offsets
+        # (r-index.cpp:1025-1094).
         from .. import native
 
         psi_base = C[run_sym.astype(np.int64)] + cum[np.arange(r), run_sym.astype(np.int64)]
-        h_seq, h_t, t_seq, t_t, seq_len = native.psi_walk_native(
-            run_start, psi_base, run_sym == 0, n, n_seq)
+        res = native.psi_walk_native(
+            run_start, psi_base, run_sym == 0, n, n_seq, full_sa=keep_sa)
+        h_seq, h_t, t_seq, t_t, seq_len = res[:5]
         max_len = int(seq_len.max())
         idx.max_len = max_len
         idx.samples = h_seq * max_len + (seq_len[h_seq] - 1 - h_t)
@@ -291,6 +295,11 @@ def build_rindex(rlbwt: RLBWT, progress: bool = False, _sa_hint=None,
         order = np.argsort(tail_packed, kind="stable")
         idx.last_sorted = tail_packed[order]
         idx.last_to_run = order.astype(np.int64)
+        if keep_sa:
+            sa_seq, sa_t = res[5], res[6]
+            idx.sa_seq = sa_seq
+            idx.sa_pos = seq_len[sa_seq] - 1 - sa_t
+            idx.seq_lengths = seq_len
         return idx
     else:
         # --- lane-per-sequence psi walk assigning (seq, step) to every row ---

@@ -22,19 +22,24 @@ _lib = None
 
 def _build() -> bool:
     srcs = [_SRC / "panindex_native.cpp", _SRC / "sais.cpp", _SRC / "gbwt_decode.cpp",
-            _SRC / "psi_walk.cpp"]
+            _SRC / "psi_walk.cpp", _SRC / "bitio.cpp"]
     if not all(s.exists() for s in srcs):
         return False
     if _LIB.exists() and all(_LIB.stat().st_mtime >= s.stat().st_mtime for s in srcs):
         return True
+    # compile to a private temp and rename: concurrent processes (e.g. a bench
+    # subprocess spawned mid-rebuild) must never dlopen a half-written .so
+    tmp = _LIB.with_suffix(f".tmp{os.getpid()}.so")
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-             *[str(s) for s in srcs], "-o", str(_LIB)],
+             *[str(s) for s in srcs], "-o", str(tmp)],
             check=True, capture_output=True, timeout=300,
         )
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        tmp.unlink(missing_ok=True)
         return False
 
 
@@ -170,11 +175,13 @@ def count_native(idx, codes: np.ndarray, lengths: np.ndarray, n_threads: int = 0
 
 def psi_walk_native(run_start: np.ndarray, psi_base: np.ndarray,
                     is_end: np.ndarray, n: int, n_seq: int,
-                    n_threads: int = 0):
+                    n_threads: int = 0, full_sa: bool = False):
     """Run-length-bounded psi walk (src/cpp/psi_walk.cpp): the O(r)-memory
     replacement for the numpy full-permutation walk in build_rindex. Returns
     (head_seq, head_t, tail_seq, tail_t, seq_len) - lane + step at every run
-    head/tail plus per-sequence lengths (incl. endmarker)."""
+    head/tail plus per-sequence lengths (incl. endmarker). With full_sa=True,
+    two extra [n] arrays (sa_seq, sa_t) give the per-row lane + step - the
+    O(n) product keep_sa builds need for the tag gather."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native engine unavailable")
@@ -187,6 +194,12 @@ def psi_walk_native(run_start: np.ndarray, psi_base: np.ndarray,
     tail_seq = np.zeros(r, np.int64)
     tail_t = np.zeros(r, np.int64)
     seq_len = np.zeros(n_seq, np.int64)
+    if full_sa:
+        sa_seq = np.zeros(n, np.int64)
+        sa_t = np.zeros(n, np.int64)
+        sa_args = (_ptr(sa_seq, ctypes.c_int64), _ptr(sa_t, ctypes.c_int64))
+    else:
+        sa_args = (None, None)
     lib.panindex_psi_walk(
         _ptr(run_start, ctypes.c_int64), _ptr(psi_base, ctypes.c_int64),
         _ptr(is_end, ctypes.c_uint8),
@@ -194,5 +207,42 @@ def psi_walk_native(run_start: np.ndarray, psi_base: np.ndarray,
         _ptr(head_seq, ctypes.c_int64), _ptr(head_t, ctypes.c_int64),
         _ptr(tail_seq, ctypes.c_int64), _ptr(tail_t, ctypes.c_int64),
         _ptr(seq_len, ctypes.c_int64), ctypes.c_int32(n_threads),
+        *sa_args,
     )
-    return head_seq, head_t, tail_seq, tail_t, seq_len
+    out = (head_seq, head_t, tail_seq, tail_t, seq_len)
+    return out + (sa_seq, sa_t) if full_sa else out
+
+
+def unpack_bits_native(words: np.ndarray, width: int, count: int) -> np.ndarray:
+    """Single-pass LSB-first bit-field unpack (src/cpp/bitio.cpp)."""
+    lib = get_lib()
+    words = np.ascontiguousarray(words, "<u8")
+    out = np.zeros(count, np.int64)
+    lib.panindex_unpack_bits(
+        _ptr(words, ctypes.c_uint64), ctypes.c_int64(words.size),
+        ctypes.c_int64(width), ctypes.c_int64(count), _ptr(out, ctypes.c_int64))
+    return out
+
+
+def pack_bits_native(values: np.ndarray, width: int) -> np.ndarray:
+    """Inverse of unpack_bits_native; returns LE uint64 words."""
+    lib = get_lib()
+    values = np.ascontiguousarray(values, np.int64)
+    nwords = (values.size * width + 63) // 64
+    words = np.zeros(nwords, "<u8")
+    lib.panindex_pack_bits(
+        _ptr(values, ctypes.c_int64), ctypes.c_int64(values.size),
+        ctypes.c_int64(width), _ptr(words, ctypes.c_uint64))
+    return words
+
+
+def set_bits_native(words: np.ndarray, nbits: int, expected: int) -> np.ndarray:
+    """Indices of set bits (ctz scan) - the sd_vector high-bits decode."""
+    lib = get_lib()
+    lib.panindex_set_bits.restype = ctypes.c_int64
+    words = np.ascontiguousarray(words, "<u8")
+    out = np.zeros(expected, np.int64)
+    got = lib.panindex_set_bits(
+        _ptr(words, ctypes.c_uint64), ctypes.c_int64(nbits),
+        _ptr(out, ctypes.c_int64), ctypes.c_int64(expected))
+    return out[:got]

@@ -6,58 +6,36 @@
 // steps. Our numpy import path instead materialized the full psi permutation
 // plus per-row (seq, step) arrays (~25 B/char), which capped the import at a
 // few Gbp per host. This walk restores the reference's O(r) memory bound on
-// flat run tables: per step, one run lookup (interpolation-seeded binary
-// search over run_start) computes psi on the fly, and (lane, step) is
-// recorded ONLY at run heads and tails. Across lanes the walks partition the
-// BWT rows, so every head/tail slot is written exactly once - threads over
-// lanes need no synchronization.
+// flat run tables and attacks the walk's real cost - dependent cache misses:
+//
+//  * position -> run resolution uses a coarse bucket table (~2 entries per
+//    run) + a short forward scan instead of a log(r) binary search: ~2 line
+//    touches per step instead of ~6 misses.
+//  * (run_start, psi_base|is_end) are interleaved in one 16-byte record so
+//    a step's narrow + psi computation touches one cache line.
+//  * lanes (sequences) are software-pipelined: each round issues the coarse
+//    prefetch for every lane, then the record prefetch, then the dependent
+//    work - turning one long dependent-miss chain per lane into n_seq
+//    overlapped chains (memory-level parallelism).
+//
+// Across lanes the walks partition the BWT rows, so every head/tail slot is
+// written exactly once - threads over lanes need no synchronization.
 //
 // psi(i) = psi_base[j] + (i - run_start[j]) where j = run_of(i) and
 // psi_base[j] = C[sym_j] + cum[j][sym_j]  (FastLocate::psi, r-index.cpp:530).
 
 #include <cstdint>
+#include <vector>
 #ifdef _OPENMP
 #include <omp.h>
 #endif
 
 namespace {
 
-// Largest j with run_start[j] <= pos. run_start is smooth (average gap n/r),
-// so an interpolation seed + outward gallop brackets the answer in a handful
-// of probes; the final narrowing is plain binary search.
-inline int64_t run_of_interp(const int64_t* run_start, int64_t r, int64_t n,
-                             int64_t pos) {
-    int64_t g = (int64_t)((double)pos * (double)r / (double)n);
-    if (g < 0) g = 0;
-    if (g >= r) g = r - 1;
-    int64_t lo, hi;
-    if (run_start[g] <= pos) {
-        lo = g;
-        int64_t step = 1;
-        hi = g;
-        while (hi < r - 1 && run_start[hi + 1] <= pos) {
-            lo = hi + 1;
-            hi = lo + step;
-            if (hi > r - 1) hi = r - 1;
-            step <<= 1;
-        }
-    } else {
-        hi = g - 1;
-        int64_t step = 1;
-        lo = hi;
-        while (lo > 0 && run_start[lo] > pos) {
-            hi = lo - 1;
-            lo = hi - step;
-            if (lo < 0) lo = 0;
-            step <<= 1;
-        }
-    }
-    while (lo < hi) {
-        int64_t mid = (lo + hi + 1) >> 1;
-        if (run_start[mid] <= pos) lo = mid; else hi = mid - 1;
-    }
-    return lo;
-}
+struct RunRec {
+    int64_t start;  // BWT offset of the run head
+    int64_t base2;  // (psi_base << 1) | is_endmarker
+};
 
 }  // namespace
 
@@ -68,6 +46,10 @@ extern "C" {
 // run's first row, tail_seq/tail_t at its last row; seq_len[lane] = sequence
 // length including the endmarker. Suffix offsets follow by the reference's
 // distance flip (r-index.cpp:1082-1083): offset = seq_len[seq] - 1 - t.
+// When sa_seq/sa_t are non-null ([n] each) the walk additionally records the
+// full per-row (lane, step) assignment - the O(n) product the tag build
+// consumes (core/tagbuild.py:tags_per_row); suffix offsets are derived by the
+// caller via the same distance flip.
 void panindex_psi_walk(
     const int64_t* run_start,  // [r]
     const int64_t* psi_base,   // [r] C[sym]+cum[j][sym]
@@ -75,24 +57,62 @@ void panindex_psi_walk(
     int64_t r, int64_t n, int64_t n_seq,
     int64_t* head_seq, int64_t* head_t,
     int64_t* tail_seq, int64_t* tail_t,
-    int64_t* seq_len, int32_t n_threads)
+    int64_t* seq_len, int32_t n_threads,
+    int64_t* sa_seq, int64_t* sa_t)
 {
-#ifdef _OPENMP
-    if (n_threads > 0) omp_set_num_threads(n_threads);
-#pragma omp parallel for schedule(dynamic, 1)
-#endif
-    for (int64_t lane = 0; lane < n_seq; ++lane) {
-        int64_t i = lane;
-        int64_t t = 0;
-        for (;;) {
-            int64_t j = run_of_interp(run_start, r, n, i);
-            if (i == run_start[j]) { head_seq[j] = lane; head_t[j] = t; }
-            int64_t next_start = (j + 1 < r) ? run_start[j + 1] : n;
-            if (i == next_start - 1) { tail_seq[j] = lane; tail_t[j] = t; }
-            if (is_end[j]) { seq_len[lane] = t + 1; break; }
-            i = psi_base[j] + (i - run_start[j]);
-            ++t;
+    (void)n_threads;
+    // interleaved run records + sentinel (start = n ends every scan)
+    std::vector<RunRec> rec(r + 1);
+    for (int64_t j = 0; j < r; ++j)
+        rec[j] = RunRec{run_start[j], (psi_base[j] << 1) | int64_t(is_end[j])};
+    rec[r] = RunRec{n, 0};
+
+    // coarse bucket table: coarse[b] = run containing position b << S,
+    // sized to ~2 entries per run (O(r) memory)
+    int S = 0;
+    while ((n >> S) > 2 * r + 1 && S < 62) ++S;
+    int64_t nb = ((n - 1) >> S) + 1;
+    std::vector<int64_t> coarse(nb);
+    {
+        int64_t j = 0;
+        for (int64_t b = 0; b < nb; ++b) {
+            int64_t pos = b << S;
+            while (rec[j + 1].start <= pos) ++j;
+            coarse[b] = j;
         }
+    }
+
+    // software-pipelined lane rounds
+    std::vector<int64_t> cur(n_seq), t(n_seq, 0), jv(n_seq);
+    std::vector<int64_t> lanes(n_seq);
+    for (int64_t s = 0; s < n_seq; ++s) { cur[s] = s; lanes[s] = s; }
+    int64_t active = n_seq;
+    while (active > 0) {
+        for (int64_t a = 0; a < active; ++a)
+            __builtin_prefetch(&coarse[cur[lanes[a]] >> S]);
+        for (int64_t a = 0; a < active; ++a) {
+            int64_t s = lanes[a];
+            jv[s] = coarse[cur[s] >> S];
+            __builtin_prefetch(&rec[jv[s]]);
+        }
+        int64_t w = 0;
+        for (int64_t a = 0; a < active; ++a) {
+            int64_t s = lanes[a];
+            int64_t i = cur[s];
+            int64_t j = jv[s];
+            while (rec[j + 1].start <= i) ++j;
+            if (i == rec[j].start) { head_seq[j] = s; head_t[j] = t[s]; }
+            if (i == rec[j + 1].start - 1) { tail_seq[j] = s; tail_t[j] = t[s]; }
+            if (sa_seq) { sa_seq[i] = s; sa_t[i] = t[s]; }
+            if (rec[j].base2 & 1) {
+                seq_len[s] = t[s] + 1;          // lane done: drop from pool
+            } else {
+                cur[s] = (rec[j].base2 >> 1) + (i - rec[j].start);
+                ++t[s];
+                lanes[w++] = s;
+            }
+        }
+        active = w;
     }
 }
 

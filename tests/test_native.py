@@ -122,3 +122,40 @@ def test_sais_bwt_many_sequences():
     np.testing.assert_array_equal(bwt, o.bwt)
     np.testing.assert_array_equal(da, o.da)
     np.testing.assert_array_equal(sp, o.sa_pos)
+
+
+def test_bitio_native_matches_numpy(monkeypatch):
+    # the native single-pass (un)pack kernels (src/cpp/bitio.cpp) must be
+    # bit-identical to the numpy codec across widths, above the routing
+    # threshold where they actually engage (sdsl._NATIVE_MIN)
+    import io
+
+    from pangenome_index_tpu.formats import sdsl
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(7)
+    n = sdsl._NATIVE_MIN * 3
+    for width in (1, 9, 13, 31, 33, 63, 64):
+        vals = rng.integers(0, min(1 << width, 2**63 - 1), n).astype(np.int64)
+        w_nat = sdsl._values_to_words(vals, width)
+        monkeypatch.setenv("PANIDX_NO_NATIVE_BITIO", "1")
+        w_np = sdsl._values_to_words(vals, width)
+        v_np = sdsl._words_to_values(w_nat, width, n)
+        monkeypatch.delenv("PANIDX_NO_NATIVE_BITIO")
+        v_nat = sdsl._words_to_values(w_nat, width, n)
+        np.testing.assert_array_equal(w_nat, w_np)
+        np.testing.assert_array_equal(v_nat, vals)
+        np.testing.assert_array_equal(v_np, vals)
+    # sd_vector decode through the ctz set-bits kernel
+    pos = np.unique(rng.integers(0, 5_000_000, 40_000)).astype(np.int64)
+    sd = sdsl.SdVector(size=5_000_000, positions=pos)
+    b = io.BytesIO()
+    sdsl.write_sd_vector(b, sd)
+    b.seek(0)
+    np.testing.assert_array_equal(sdsl.read_sd_vector(b).positions, pos)
+    monkeypatch.setenv("PANIDX_NO_NATIVE_BITIO", "1")
+    b.seek(0)
+    np.testing.assert_array_equal(sdsl.read_sd_vector(b).positions, pos)

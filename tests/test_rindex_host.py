@@ -85,9 +85,10 @@ def test_native_walk_matches_numpy_walk(ref_data, txt, rl, monkeypatch):
     if not native.available():
         pytest.skip("native engine unavailable")
     rlbwt = read_rlbwt(ref_data / rl)
-    a = build_rindex(rlbwt)
+    a = build_rindex(rlbwt, keep_sa=True)
     monkeypatch.setenv("PANIDX_NO_NATIVE_WALK", "1")
-    b = build_rindex(rlbwt)
+    b = build_rindex(rlbwt, keep_sa=True)
     assert a.max_len == b.max_len
-    for fld in ("samples", "last_sorted", "last_to_run"):
+    for fld in ("samples", "last_sorted", "last_to_run",
+                "sa_seq", "sa_pos", "seq_lengths"):
         np.testing.assert_array_equal(getattr(a, fld), getattr(b, fld))
