@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 CHILD = """
-import json, os, resource, sys, time
+import json, os, sys, time
 sys.path.insert(0, %(repo)r)
 import numpy as np
 from pangenome_index_tpu.formats.rlbwt import read_rlbwt
@@ -40,9 +40,12 @@ t2 = time.perf_counter()
 import hashlib
 fp = hashlib.sha256(idx.samples.tobytes() + idx.last_sorted.tobytes()
                     + idx.last_to_run.tobytes()).hexdigest()
+# VmHWM, NOT ru_maxrss: the latter survives fork+exec on Linux, so a child
+# of a big-RSS parent would report the parent's peak
+hwm_kb = int([l for l in open("/proc/self/status") if "VmHWM" in l][0].split()[1])
 print(json.dumps({
     "read_s": round(t1 - t0, 1), "walk_s": round(t2 - t1, 1),
-    "peak_rss_gb": round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
+    "peak_rss_gb": round(hwm_kb / 1e6, 2),
     "r": idx.n_runs, "n": idx.n, "fingerprint": fp,
 }))
 """

@@ -263,12 +263,15 @@ def build_rindex(rlbwt: RLBWT, progress: bool = False, _sa_hint=None,
     )
 
     if _sa_hint is not None:
-        seq_of_row, pos_of_row, seq_len = (np.asarray(a, np.int64) for a in _sa_hint)
+        # keep the caller's dtype (the native SA-IS hands int32 below 2^31 -
+        # half the build-plane bytes); packing upcasts on the r-sized slice
+        seq_of_row, pos_of_row = (np.asarray(a) for a in _sa_hint[:2])
+        seq_len = np.asarray(_sa_hint[2], np.int64)
         max_len = int(seq_len.max())
         idx.max_len = max_len
 
         def packed_at(rows):
-            return seq_of_row[rows] * max_len + pos_of_row[rows]
+            return seq_of_row[rows].astype(np.int64) * max_len + pos_of_row[rows]
 
         if keep_sa:
             idx.sa_seq, idx.sa_pos, idx.seq_lengths = seq_of_row, pos_of_row, seq_len

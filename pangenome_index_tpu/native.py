@@ -137,6 +137,18 @@ def build_bwt_native(lines: list[bytes], force64: bool = False):
     seq_ends = np.cumsum(seq_lens)
     n = int(text.size + len(lines))
     bwt = np.zeros(n, np.uint8)
+    if not force64 and n + 1 < 2**31:
+        # int32 da/sa_pos below 2^31 rows: these arrays ride through the
+        # r-index (_sa_hint keeps dtype) and the tag gather, so 8 B/char of
+        # the build-plane working set becomes 4
+        da = np.zeros(n, np.int32)
+        sa_pos = np.zeros(n, np.int32)
+        lib.panindex_build_bwt_i32(
+            _ptr(np.ascontiguousarray(text), ctypes.c_uint8), ctypes.c_int64(text.size),
+            _ptr(np.ascontiguousarray(seq_ends), ctypes.c_int64), ctypes.c_int64(len(lines)),
+            _ptr(bwt, ctypes.c_uint8), _ptr(da, ctypes.c_int32), _ptr(sa_pos, ctypes.c_int32),
+        )
+        return bwt, da, sa_pos, seq_lens + 1
     da = np.zeros(n, np.int64)
     sa_pos = np.zeros(n, np.int64)
     fn = lib.panindex_build_bwt_force64 if force64 else lib.panindex_build_bwt

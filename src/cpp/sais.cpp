@@ -167,10 +167,10 @@ void sais_core(const idx_t* T, idx_t* SA, idx_t n, idx_t K) {
 // Sequence id / in-sequence offset of a rotation are recovered from the
 // separator boundaries by binary search instead of 16 bytes/char of
 // side arrays - the build working set is T + SA + TS + outputs.
-template <typename idx_t>
+template <typename idx_t, typename out_t = int64_t>
 void build_bwt_impl(const uint8_t* text, int64_t text_len,
                     const int64_t* seq_ends, int64_t n_seq,
-                    uint8_t* bwt, int64_t* da, int64_t* sa_pos) {
+                    uint8_t* bwt, out_t* da, out_t* sa_pos) {
     idx_t n = (idx_t)(text_len + n_seq);
     // dense, order-preserving byte remap: separators take codes 1..n_seq,
     // present bytes take n_seq+1.. in byte order. Keeps the SA-IS alphabet
@@ -213,8 +213,8 @@ void build_bwt_impl(const uint8_t* text, int64_t text_len,
         idx_t tp = T[prev];
         bwt[j] = tp > (idx_t)n_seq ? byte_of[tp] : (uint8_t)'\n';
         idx_t s = (idx_t)(std::upper_bound(bnd.begin(), bnd.end(), p) - bnd.begin());
-        da[j] = s;
-        sa_pos[j] = p - (s > 0 ? bnd[s - 1] : 0);
+        da[j] = (out_t)s;
+        sa_pos[j] = (out_t)(p - (s > 0 ? bnd[s - 1] : 0));
     }
 }
 
@@ -247,6 +247,14 @@ void panindex_build_bwt(const uint8_t* text, int64_t text_len,
         build_bwt_impl<int32_t>(text, text_len, seq_ends, n_seq, bwt, da, sa_pos);
     else
         build_bwt_impl<int64_t>(text, text_len, seq_ends, n_seq, bwt, da, sa_pos);
+}
+
+// int32 da/sa_pos outputs (halves the dominant build-plane arrays); valid
+// only when text_len + n_seq < 2^31 - the wrapper picks the width.
+void panindex_build_bwt_i32(const uint8_t* text, int64_t text_len,
+                            const int64_t* seq_ends, int64_t n_seq,
+                            uint8_t* bwt, int32_t* da, int32_t* sa_pos) {
+    build_bwt_impl<int32_t, int32_t>(text, text_len, seq_ends, n_seq, bwt, da, sa_pos);
 }
 
 // Test hooks: force the int64 instantiations on small inputs so the >2 Gbp
