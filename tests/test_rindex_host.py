@@ -92,3 +92,25 @@ def test_native_walk_matches_numpy_walk(ref_data, txt, rl, monkeypatch):
     for fld in ("samples", "last_sorted", "last_to_run",
                 "sa_seq", "sa_pos", "seq_lengths"):
         np.testing.assert_array_equal(getattr(a, fld), getattr(b, fld))
+
+
+def test_sa_hint_int32_packing_no_overflow():
+    """build_rindex keeps int32 SA-hint arrays (the native SA-IS output
+    below 2^31 rows) but must pack samples in int64: seq_id * max_len can
+    exceed int32 even when every input value fits it."""
+    from pangenome_index_tpu.formats.rlbwt import rlbwt_from_text
+
+    # 3 tiny sequences; claim a huge max sequence length via seq_lengths so
+    # packed values pass 2^31 (packing never indexes by seq_len, only max())
+    bwt = b"\nA\nC\nG"  # any 6-row BWT with 3 endmarkers
+    rl = rlbwt_from_text(bwt)
+    big = 1 << 30
+    seq_of_row = np.array([0, 1, 1, 2, 2, 0], np.int32)
+    pos_of_row = np.array([5, 0, 1, 0, 1, 3], np.int32)
+    seq_len = np.array([big, 2, 2], np.int64)
+    idx = build_rindex(rl, _sa_hint=(seq_of_row, pos_of_row, seq_len))
+    expect = seq_of_row.astype(np.int64) * big + pos_of_row
+    # samples are taken at run heads (every run is unit here except none)
+    np.testing.assert_array_equal(idx.samples, expect[idx.run_start])
+    assert idx.samples.dtype == np.int64
+    assert (idx.samples >= 0).all() and idx.samples.max() > 2**31
