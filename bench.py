@@ -31,7 +31,7 @@ READ_LEN = 150
 MIN_LEN = 20
 MIN_OCC = 1
 BASELINE_READS = 24
-MER_M = 12
+MER_M = 14  # +25% reads/s over m=12 at depth90 (PERF.md round 3 A/B)
 # fallback lanes per launch when the caller pins a chunk; the shipped default
 # is the measurement autotune (chunk=None races 4096 vs 8192 - the optimum is
 # workload-dependent: shallow configs pick 4096, depth90 picks 8192, PERF.md)

@@ -42,6 +42,28 @@ def _pack_reads(reads: list[bytes]):
     return codes, lens
 
 
+def _resolve_mer_len(arg: int, min_len: int, n: int) -> int:
+    """Seed-table size. -1 = auto: the measured serving optimum is the
+    largest table that fits comfortably (PERF.md round 3: m=14 gives +25%
+    reads/s over m=12 at depth90; every +1 of m removes one extension from
+    each seeded step-1/step-3 entry), degraded to min_len-1 so seeds stay
+    on for short patterns and capped at 13 for int64 position dtypes (the
+    4^m x 3 table doubles). Returns 0 when seeds are off (m < 4 is not
+    worth the table reads, and the engine requires min_len > m)."""
+    if arg != -1:
+        return arg if (arg and min_len > arg) else 0
+    import jax
+
+    if jax.default_backend() == "cpu":
+        # the 4^m build is device work; on the CPU backend a 4^14 table
+        # takes hours - keep the table small there (debug/host backends)
+        cap = 8
+    else:
+        cap = 14 if n < 2**31 else 13
+    m = min(cap, min_len - 1)
+    return m if m >= 4 else 0
+
+
 def cmd_build_rindex(args) -> int:
     from .formats import ri
     from .formats.rlbwt import read_rlbwt
@@ -152,8 +174,7 @@ def cmd_find_mems(args) -> int:
         tt = tags_to_device(tags)
         codes, lens = _pack_reads(reads)
         n_reads = len(reads)
-        mer_m = args.mer_len if (args.mer_len
-                                 and args.min_len > args.mer_len) else 0
+        mer_m = _resolve_mer_len(args.mer_len, args.min_len, idx.n)
         mer_args = ()
         if mer_m:
             from .ops.mertable import cached_mer_table, read_mer_keys
@@ -241,19 +262,20 @@ def cmd_find_mems(args) -> int:
         tt = tags_to_device(tags)
         codes, lens = _pack_reads(reads)
         mer_kw = {}
-        if args.mer_len and args.min_len > args.mer_len:
+        mer_m = _resolve_mer_len(args.mer_len, args.min_len, idx.n)
+        if mer_m:
             from .ops.mertable import cached_mer_table, read_mer_keys
 
             # the table is a pure function of (index, m): persist it next to
             # the index so serving pays the expansion once per index, not
             # once per process (VERDICT r1: cold start)
             cache_path = (None if args.no_mer_cache
-                          else f"{args.ri}.mer{args.mer_len}.npz")
-            mt_np = cached_mer_table(idx, args.mer_len, path=cache_path)
+                          else f"{args.ri}.mer{mer_m}.npz")
+            mt_np = cached_mer_table(idx, mer_m, path=cache_path)
             mt = jnp.asarray(mt_np, t.run_start.dtype)
-            mk, mv = read_mer_keys(codes, lens, args.mer_len)
+            mk, mv = read_mer_keys(codes, lens, mer_m)
             mer_kw = dict(mer_table=mt, mer_keys=jnp.asarray(mk),
-                          mer_valid=jnp.asarray(mv), mer_m=args.mer_len)
+                          mer_valid=jnp.asarray(mv), mer_m=mer_m)
         tm = time.perf_counter()
         B = args.batch_size
         if B == 0 and len(reads) > 4096:
@@ -286,7 +308,7 @@ def cmd_find_mems(args) -> int:
             from .ops.mertable import seed_difficulty
 
             proxy = seed_difficulty(mt_np, mk, mv, args.min_occ,
-                                    lengths=lens, m=args.mer_len)
+                                    lengths=lens, m=mer_m)
             order = np.argsort(proxy, kind="stable")
             codes, lens = codes[order], lens[order]
             mer_kw["mer_keys"] = jnp.asarray(mk[order])
@@ -588,8 +610,10 @@ def main(argv=None) -> int:
             q.add_argument("min_occ", type=int)
             q.add_argument("--mem-capacity", type=int, default=32)
             q.add_argument("--tag-capacity", type=int, default=256)
-            q.add_argument("--mer-len", type=int, default=8,
-                           help="m-mer seed table size (0 disables)")
+            q.add_argument("--mer-len", type=int, default=-1,
+                           help="m-mer seed table size; -1 = auto "
+                                "(min(14, min_len-1), the measured serving "
+                                "optimum - PERF.md round 3), 0 disables")
             q.add_argument("--no-mer-cache", action="store_true",
                            help="do not persist the seed table next to the index")
             q.add_argument("--batch-size", type=int, default=0,
