@@ -164,3 +164,40 @@ def test_roundtrip(ref_data, fmt):
     np.testing.assert_array_equal(loaded.cum, built.cum)
     np.testing.assert_array_equal(loaded.samples, built.samples)
     np.testing.assert_array_equal(loaded.C, built.C)
+
+
+def test_fuzz_load_ri_truncation_and_flips(ref_data, tmp_path):
+    """Adversarial .ri payloads must fail cleanly (exceptions), never hang
+    or crash the process. The format carries no checksum (same as the
+    reference, r-index.hpp:85-115), so a benign bit flip MAY deserialize
+    to a different valid index - the contract here is robustness, not
+    detection."""
+    import io
+
+    from pangenome_index_tpu.formats import ri as rifmt
+
+    data = bytearray((ref_data / "bidirectional_test/xy.ri").read_bytes())
+    built = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    enc = bytearray(rifmt.serialize_encoded(built))
+    rng = np.random.default_rng(99)
+
+    for payload in (data, enc):
+        # truncations at 40 random offsets incl. 0 and header boundary
+        cuts = {0, 8, len(payload) - 1} | {
+            int(rng.integers(0, len(payload))) for _ in range(40)}
+        for cut in sorted(cuts):
+            try:
+                rifmt.load(io.BytesIO(bytes(payload[:cut])))
+            except Exception:
+                pass  # clean failure is the contract
+        # single-bit flips at 60 random positions
+        for _ in range(60):
+            pos = int(rng.integers(0, len(payload)))
+            bit = 1 << int(rng.integers(0, 8))
+            flipped = bytearray(payload)
+            flipped[pos] ^= bit
+            try:
+                idx = rifmt.load(io.BytesIO(bytes(flipped)))
+                assert idx.n_runs >= 0
+            except Exception:
+                pass
