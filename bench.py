@@ -227,13 +227,16 @@ def measure_ext_rate(t, n, lanes=4096):
     sz = jnp.full(lanes, n, t.run_start.dtype)
     cz = jnp.zeros(lanes, jnp.int32)
     float(ext_loop(t, kz, kz, sz, cz, 100))
-    t0 = time.perf_counter()
-    float(ext_loop(t, kz, kz, sz, cz, 1100))
-    d1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(ext_loop(t, kz, kz, sz, cz, 100))
-    d0 = time.perf_counter() - t0
-    return lanes * 1000 / max(d1 - d0, 1e-9)
+    for _ in range(3):  # tunnel timing noise can swallow the 1000-iter delta
+        t0 = time.perf_counter()
+        float(ext_loop(t, kz, kz, sz, cz, 1100))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(ext_loop(t, kz, kz, sz, cz, 100))
+        d0 = time.perf_counter() - t0
+        if d1 - d0 > 5e-3:  # a real 1000-iter delta is many milliseconds
+            return lanes * 1000 / (d1 - d0)
+    return 0.0  # non-measurement beats an absurd number in the JSON
 
 
 def native_baseline(idx, codes, lens, counts=None, n_threads=1, nb=256,
