@@ -138,13 +138,71 @@ def rle(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return values[starts], (ends - starts).astype(np.int64)
 
 
-def build_tags(gbz: GBZ, idx: RIndex) -> TagArray:
+def build_tags(gbz: GBZ, idx: RIndex, chunk: int = 1 << 24) -> TagArray:
     """Tag array over BWT rows [n_seq, n) in the algorithm-format coordinate
     system (positions relative to the first non-endmarker row, matching the
-    stream build_tags serializes)."""
-    tags = tags_per_row(gbz, idx)
-    vals, lens = rle(tags)
-    return TagArray.from_runs(vals, lens)
+    stream build_tags serializes).
+
+    Chunked form of rle(tags_per_row(...)): the flat per-character tag array
+    is filled per visit window and the SA gather + RLE run per row window
+    with a boundary-run carry, so peak temporaries are O(chunk) instead of
+    the ~40 B/char of one-shot int64 intermediates (vi/offs/rows/gather
+    index/pre-RLE tags) - the tags phase set the whole build plane's peak
+    RSS (PERF.md). Output equality vs the one-shot spec is tested at
+    sub-data chunk sizes (tests/test_tagbuild.py)."""
+    if idx.sa_seq is None:
+        raise ValueError("r-index must be built with keep_sa=True")
+    n_seq = idx.n_seq
+    seq_map = text_seq_map(gbz, n_seq)
+    visits, vptr = gbz.index.table().extract_all(np.array(seq_map, np.int64))
+    _, _, node_lens, first = graph_arrays(gbz)
+    nid = visits >> 1
+    rev = (visits & 1).astype(np.int64)
+    vl = node_lens[nid - first]
+    cum_vl = np.concatenate(([0], np.cumsum(vl)))
+    lengths = cum_vl[vptr[1:]] - cum_vl[vptr[:-1]]
+    expect = idx.seq_lengths - 1
+    if not np.array_equal(lengths, expect):
+        raise ValueError(f"path lengths {lengths} != BWT sequence lengths {expect}")
+
+    total = int(cum_vl[-1])
+    flat = np.empty(total, np.int64)
+    packed = (nid << 11) | (rev << 10)
+    v0 = 0
+    while v0 < len(visits):
+        v1 = min(max(int(np.searchsorted(cum_vl, cum_vl[v0] + chunk)), v0 + 1),
+                 len(visits))
+        a, b = int(cum_vl[v0]), int(cum_vl[v1])
+        reps = vl[v0:v1]
+        offs = np.arange(b - a, dtype=np.int64) - np.repeat(cum_vl[v0:v1] - a, reps)
+        flat[a:b] = np.repeat(packed[v0:v1], reps) | offs
+        v0 = v1
+
+    starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+    out_v, out_l = [], []
+    carry_v, carry_l = None, 0
+    for s in range(n_seq, idx.n, chunk):
+        e = min(idx.n, s + chunk)
+        t = flat[starts[np.asarray(idx.sa_seq[s:e], np.int64)] + idx.sa_pos[s:e]]
+        v, ln = rle(t)
+        if v.size == 0:
+            continue
+        if carry_v is not None:
+            if v[0] == carry_v:
+                ln = ln.copy()
+                ln[0] += carry_l
+            else:
+                out_v.append(np.array([carry_v], np.int64))
+                out_l.append(np.array([carry_l], np.int64))
+        carry_v, carry_l = int(v[-1]), int(ln[-1])
+        out_v.append(v[:-1])
+        out_l.append(ln[:-1])
+    if carry_v is not None:
+        out_v.append(np.array([carry_v], np.int64))
+        out_l.append(np.array([carry_l], np.int64))
+    if not out_v:
+        return TagArray.from_runs(np.zeros(0, np.int64), np.zeros(0, np.int64))
+    return TagArray.from_runs(np.concatenate(out_v), np.concatenate(out_l))
 
 
 def build_tags_pipeline(gbz_path: str, rlbwt_path: str, output_path: str,

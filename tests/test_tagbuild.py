@@ -108,3 +108,18 @@ def test_committed_two_contig_ri_matches_build(ref_data):
 def test_seq_of_rows_matches_sa(ref_data):
     idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"), keep_sa=True)
     np.testing.assert_array_equal(seq_of_rows(idx), idx.sa_seq)
+
+
+def test_build_tags_chunked_equals_oneshot(ref_data):
+    """build_tags at sub-data chunk sizes must reproduce the one-shot spec
+    rle(tags_per_row(...)) exactly, including runs spanning chunk edges."""
+    from pangenome_index_tpu.core.tagbuild import rle, tags_per_row
+
+    gbz = load_gbz(ref_data / "bidirectional_test/xy.gbz")
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"),
+                       keep_sa=True)
+    want_v, want_l = rle(tags_per_row(gbz, idx))
+    for chunk in (257, 1000, 1 << 24):
+        tags = build_tags(gbz, idx, chunk=chunk)
+        np.testing.assert_array_equal(tags.pos_enc, want_v)
+        np.testing.assert_array_equal(tags.run_lengths(), want_l)
