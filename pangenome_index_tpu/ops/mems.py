@@ -43,7 +43,8 @@ class MemResult(NamedTuple):
 def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
                    min_len, min_occ, capacity: int = 32, rank6_fn=None,
                    mer_table=None, mer_keys=None, mer_valid=None,
-                   mer_m: int = 0, with_stats: bool = False) -> MemResult:
+                   mer_m: int = 0, with_stats: bool = False,
+                   cond_every: int = 8) -> MemResult:
     """codes: [B, L] int32 (0-padded), lengths: [B]. Returns MemResult.
 
     The pad column j == length reads code 0 - the reference's std::string NUL
@@ -241,7 +242,17 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         return S(phase, x, j, k, kp, s, k2, kp2, s2,
                  m_se, m_bwt, m_size, cnt, st.it + 1, steps)
 
-    st = jax.lax.while_loop(cond, body, st)
+    if cond_every > 1:
+        # check the all-lanes-done reduction every K iterations: the body is
+        # a no-op for finished lanes (act/emit all false), so up to K-1
+        # wasted trailing iterations buy K-1 skipped cond computations
+        # (+2% serving, counts identical - PERF.md; `it` in with_stats may
+        # overshoot by <K)
+        block = lambda st: jax.lax.fori_loop(0, cond_every,
+                                             lambda i, s: body(s), st)
+        st = jax.lax.while_loop(cond, block, st)
+    else:
+        st = jax.lax.while_loop(cond, body, st)
     res = MemResult((st.m_se >> 16).astype(pd), (st.m_se & 0xFFFF).astype(pd),
                     st.m_bwt, st.m_size, st.cnt, st.cnt > M)
     if with_stats:
@@ -250,7 +261,8 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
 
 
 find_mems_batch = functools.partial(
-    jax.jit, static_argnames=("capacity", "mer_m", "with_stats"))(find_mems_impl)
+    jax.jit, static_argnames=("capacity", "mer_m", "with_stats",
+                              "cond_every"))(find_mems_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "lanes"))
