@@ -101,41 +101,63 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
     # has been observed to take minutes.
     t0 = time.perf_counter()
     mer_table = None
-    cache_path = None
-    if mer_cache_dir is not None:
-        cache_path = os.path.join(mer_cache_dir, f"mer_{mer_table_key(idx, mer_m)}.npz")
+    # the on-device 4^m build can fail at big indexes (a reproducible worker
+    # crash at 600 Mbp + m=14, PERF.md) - step m down rather than losing the
+    # measurement; each -1 of m costs ~5% serving, a dead run costs all of it
+    for m_try in range(mer_m, max(mer_m - 3, 3), -1) if mer_m > 0 else ():
+        cache_path = None
+        if mer_cache_dir is not None:
+            cache_path = os.path.join(mer_cache_dir,
+                                      f"mer_{mer_table_key(idx, m_try)}.npz")
+            try:
+                with np.load(cache_path, allow_pickle=False) as z:
+                    mer_table = jax.device_put(jnp.asarray(z["table"]), dev)
+                log(f"[bench] mer table m={m_try} loaded from cache")
+                mer_m = m_try
+                break
+            except FileNotFoundError:
+                pass
         try:
-            with np.load(cache_path, allow_pickle=False) as z:
-                mer_table = jax.device_put(jnp.asarray(z["table"]), dev)
-            log(f"[bench] mer table m={mer_m} loaded from cache")
-        except FileNotFoundError:
-            pass
-    if mer_table is None:
-        mer_table = build_mer_table_device(t, mer_m)
+            mer_table = build_mer_table_device(t, m_try)
+            np.asarray(mer_table[:4])  # force execution before declaring success
+        except Exception as e:
+            log(f"[bench] mer table m={m_try} build failed ({type(e).__name__}); "
+                f"retrying at m={m_try - 1}")
+            mer_table = None
+            continue
         if cache_path is not None:
             host = np.asarray(mer_table)
             tmp = f"{cache_path}.tmp{os.getpid()}"
             with open(tmp, "wb") as fh:
                 np.savez(fh, table=host)
             os.replace(tmp, cache_path)
-    np.asarray(mer_table[:4])  # host fetch = real sync (block_until_ready is
-    # a no-op under the axon backend), so the timing covers the device work
-    mk, mv = read_mer_keys(codes, lens, mer_m)
-    mer_keys = jax.device_put(jnp.asarray(mk), dev)
-    mer_valid = jax.device_put(jnp.asarray(mv), dev)
-    log(f"[bench] mer table m={mer_m} ready in {time.perf_counter()-t0:.1f}s")
+        mer_m = m_try
+        break
+    if mer_table is None and mer_m > 0:
+        raise RuntimeError("mer table build failed at every m")
+    if mer_table is not None:
+        np.asarray(mer_table[:4])  # host fetch = real sync (block_until_ready
+        # is a no-op under the axon backend), so the timing covers device work
+        mk, mv = read_mer_keys(codes, lens, mer_m)
+        mer_keys = jax.device_put(jnp.asarray(mk), dev)
+        mer_valid = jax.device_put(jnp.asarray(mv), dev)
+        log(f"[bench] mer table m={mer_m} ready in {time.perf_counter()-t0:.1f}s")
 
-    # work-sorted chunking: order reads by the seed-table difficulty proxy so
-    # each lockstep chunk is work-homogeneous (results are inverse-permuted
-    # back, so output order is unchanged); every array crosses the tunnel once
-    proxy = np.asarray(seed_difficulty(mer_table, mer_keys, mer_valid, min_occ,
-                                       lengths=jnp.asarray(lens), m=mer_m))
-    order = np.argsort(proxy, kind="stable")
-    order_d = jax.device_put(jnp.asarray(order), dev)
+        # work-sorted chunking: order reads by the seed-table difficulty proxy
+        # so each lockstep chunk is work-homogeneous (results are
+        # inverse-permuted back); every array crosses the tunnel once
+        proxy = np.asarray(seed_difficulty(mer_table, mer_keys, mer_valid,
+                                           min_occ, lengths=jnp.asarray(lens),
+                                           m=mer_m))
+        order = np.argsort(proxy, kind="stable")
+        order_d = jax.device_put(jnp.asarray(order), dev)
+        mer_kw = dict(mer_table=mer_table, mer_keys=mer_keys[order_d],
+                      mer_valid=mer_valid[order_d], mer_m=mer_m)
+    else:
+        order = np.arange(n_reads)  # unseeded: no difficulty proxy to sort by
+        mer_kw = {}
     codes_d = jax.device_put(jnp.asarray(codes[order]), dev)
     lens_d = jax.device_put(jnp.asarray(lens[order]), dev)
-    mer_kw = dict(mer_table=mer_table, mer_keys=mer_keys[order_d],
-                  mer_valid=mer_valid[order_d], mer_m=mer_m)
 
     def run_all():
         pending = []

@@ -116,3 +116,42 @@ def test_seed_difficulty_ignores_padding_windows(ref_data):
                 exp += 1
         assert prox[b] == exp
     assert prox[1] <= prox[0]
+
+
+def test_serve_measure_mer_fallback(monkeypatch, ref_data):
+    """serve_measure steps the seed-table size down when the device build
+    fails (reproducible worker crash at 600 Mbp + m=14, PERF.md) instead of
+    losing the measurement."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    import bench
+    from pangenome_index_tpu.formats.rlbwt import read_rlbwt
+    from pangenome_index_tpu.models.rindex import build_rindex
+    from pangenome_index_tpu.ops import mertable
+
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    rng = np.random.default_rng(5)
+    codes = rng.integers(1, 6, (64, 40)).astype(np.int32)
+    lens = np.full(64, 40, np.int32)
+    orig = mertable.build_mer_table_device
+    calls = []
+
+    def flaky(t, m):
+        calls.append(m)
+        if m >= 6:
+            raise RuntimeError("synthetic build failure")
+        return orig(t, m)
+
+    monkeypatch.setattr(bench, "build_mer_table_device", flaky, raising=False)
+    # bench imports the symbol inside serve_measure, so patch the module too
+    monkeypatch.setattr(mertable, "build_mer_table_device", flaky)
+    m = bench.serve_measure(idx, codes, lens, min_len=8, min_occ=1, chunk=64,
+                            mer_m=6, iters=1, measure_ext=False,
+                            log=lambda s: None)
+    assert calls == [6, 5]
+    # counts must equal an unseeded run (seeds are exact at any m)
+    m0 = bench.serve_measure(idx, codes, lens, min_len=8, min_occ=1, chunk=64,
+                             mer_m=0, iters=1, measure_ext=False,
+                             log=lambda s: None)
+    np.testing.assert_array_equal(m["counts"], m0["counts"])
