@@ -70,8 +70,8 @@ def encode_reads(reads, n_reads, read_len):
 
 def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                   chunk=CHUNK, mer_m=MER_M, iters=3, measure_ext=True,
-                  mer_cache_dir=None, ckpt_block=64,
-                  log=lambda s: print(s, file=sys.stderr)):
+                  mer_cache_dir=None, ckpt_block=64, cache_only=False,
+                  persist=True, log=lambda s: print(s, file=sys.stderr)):
     """Full device serving measurement on one chip: checkpoint-rank tables,
     on-device m-mer seed table, work-sorted chunking. Returns a dict with
     reads/s, LF-steps/s, and the per-read MEM counts (for cross-checks)."""
@@ -103,8 +103,10 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
     mer_table = None
     # the on-device 4^m build can fail at big indexes (a reproducible worker
     # crash at 600 Mbp + m=14, PERF.md) - step m down rather than losing the
-    # measurement; each -1 of m costs ~5% serving, a dead run costs all of it
-    for m_try in range(mer_m, max(mer_m - 3, 3), -1) if mer_m > 0 else ():
+    # measurement; each -1 of m costs ~5% serving, a dead run costs all of it.
+    # (stop includes mer_m itself so small mer_m still gets one attempt -
+    # advisor r3 range-stop fix)
+    for m_try in range(mer_m, max(mer_m - 3, 0), -1) if mer_m > 0 else ():
         cache_path = None
         if mer_cache_dir is not None:
             cache_path = os.path.join(mer_cache_dir,
@@ -117,6 +119,10 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                 break
             except FileNotFoundError:
                 pass
+        if cache_only:
+            log(f"[bench] mer table m={m_try}: no cache, build skipped "
+                f"(cache_only)")
+            continue
         try:
             mer_table = build_mer_table_device(t, m_try)
             np.asarray(mer_table[:4])  # force execution before declaring success
@@ -125,7 +131,7 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                 f"retrying at m={m_try - 1}")
             mer_table = None
             continue
-        if cache_path is not None:
+        if cache_path is not None and persist:
             host = np.asarray(mer_table)
             tmp = f"{cache_path}.tmp{os.getpid()}"
             with open(tmp, "wb") as fh:
@@ -134,10 +140,15 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
         mer_m = m_try
         break
     if mer_table is None and mer_m > 0:
-        raise RuntimeError("mer table build failed at every m")
+        if cache_only:
+            mer_m = 0  # measured unseeded rather than risking a device build
+        else:
+            raise RuntimeError("mer table build failed at every m")
+    mer_setup_s = 0.0
     if mer_table is not None:
         np.asarray(mer_table[:4])  # host fetch = real sync (block_until_ready
         # is a no-op under the axon backend), so the timing covers device work
+        mer_setup_s = time.perf_counter() - t0
         mk, mv = read_mer_keys(codes, lens, mer_m)
         mer_keys = jax.device_put(jnp.asarray(mk), dev)
         mer_valid = jax.device_put(jnp.asarray(mv), dev)
@@ -223,7 +234,7 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
         log(f"[bench] LF/extension steps: {ext_rate/1e6:.1f} M/s "
             f"(each = 2 six-symbol rank queries)")
     return dict(device_rps=device_rps, ext_rate=ext_rate, counts=all_counts,
-                total_mems=total_mems)
+                total_mems=total_mems, mer_m=mer_m, mer_setup_s=mer_setup_s)
 
 
 def measure_ext_rate(t, n, lanes=4096):
@@ -310,16 +321,39 @@ def main():
     reads = synth_reads(lines, N_READS, READ_LEN, error_rate=0.01, seed=1)
     codes, lens = encode_reads(reads, N_READS, READ_LEN)
 
-    # chunk=None = the measurement autotune (races 4096 vs 8192 warm on the
-    # first reads): the lane optimum is workload-dependent (PERF.md), so the
-    # bench default routes through the same autotune the CLI ships
-    m = serve_measure(idx, codes, lens, chunk=None, mer_cache_dir=cache)
+    # progressive-result protocol (round-4 fix for the round-3 CPU fallback):
+    # measure at m=12 FIRST (201 MB table, proven in-budget in BENCH_r02) and
+    # print a complete JSON line as soon as that lands; then opportunistically
+    # upgrade to the m=14 optimum (3.2 GB table - its tunnel transfer has
+    # blown the driver timeout before) and print a second, better line. The
+    # orchestrator takes the LAST complete line, harvesting partial stdout if
+    # the inner process dies mid-upgrade - so a stalled 3.2 GB transfer can
+    # no longer cost the round its TPU number.
+    deadline = float(os.environ.get("PANIDX_BENCH_DEADLINE", "0"))
+
+    def emit(device_rps, host1, host2, mer_m):
+        print(json.dumps({
+            "metric": "mem_find_reads_per_s",
+            "value": round(device_rps, 1),
+            "unit": f"reads/s (150bp, minlen20, {idx.n // 1_000_000}Mbp synthetic pangenome)",
+            "vs_baseline": round(device_rps / host1, 2),
+            "vs_baseline_meaning": "1 chip vs 1 native-engine CPU core (src/cpp, same algorithm+data)",
+            "vs_baseline_2core": round(device_rps / host2, 2) if host2 else None,
+            "vs_baseline_32core_ideal": round(device_rps / (32 * host1), 2),
+            "seed_m": mer_m,
+        }), flush=True)
+
+    m = serve_measure(idx, codes, lens, chunk=None, mer_m=12,
+                      mer_cache_dir=cache)
     device_rps = m["device_rps"]
 
-    # CPU baseline: native C++ engine (single thread - the per-core baseline;
-    # the reference's deployment is one process per chromosome with OpenMP)
+    # CPU baseline: native C++ engine. 1 thread = the per-core baseline (the
+    # reference's deployment is one process per chromosome with OpenMP);
+    # 2 threads = every core this host has, for an honest multi-core point.
+    host2 = 0.0
     if native.available():
         host_rps = native_baseline(idx, codes, lens, m["counts"], n_threads=1)
+        host2 = native_baseline(idx, codes, lens, m["counts"], n_threads=2)
     else:
         t0 = time.perf_counter()
         host_mems = 0
@@ -328,13 +362,28 @@ def main():
         host_dt = time.perf_counter() - t0
         host_rps = BASELINE_READS / host_dt
         print(f"[bench] numpy host baseline: {host_rps:.1f} reads/s", file=sys.stderr)
+    emit(device_rps, host_rps, host2, m["mer_m"])
 
-    print(json.dumps({
-        "metric": "mem_find_reads_per_s",
-        "value": round(device_rps, 1),
-        "unit": f"reads/s (150bp, minlen20, {idx.n // 1_000_000}Mbp synthetic pangenome)",
-        "vs_baseline": round(device_rps / host_rps, 2),
-    }))
+    # m=14 upgrade: only when its table cache is already on local disk (never
+    # a device build here - the known worker-crash mode at big n) and the
+    # remaining wall budget covers a 16x bigger transfer at the rate phase 1
+    # just measured, plus a measurement. A lost upgrade costs nothing: the
+    # phase-1 line already stands.
+    from pangenome_index_tpu.ops.mertable import mer_table_key
+    have14 = os.path.exists(os.path.join(cache, f"mer_{mer_table_key(idx, 14)}.npz"))
+    remaining = (deadline - time.monotonic()) if deadline else float("inf")
+    budget = 16 * max(m["mer_setup_s"], 2.0) + 120
+    if have14 and remaining > budget:
+        print(f"[bench] m=14 upgrade: {remaining:.0f}s left, budget {budget:.0f}s",
+              file=sys.stderr)
+        m14 = serve_measure(idx, codes, lens, chunk=None, mer_m=14,
+                            mer_cache_dir=cache, cache_only=True,
+                            measure_ext=False)
+        if m14["mer_m"] == 14 and m14["device_rps"] > device_rps:
+            emit(m14["device_rps"], host_rps, host2, 14)
+    elif have14:
+        print(f"[bench] m=14 upgrade skipped: {remaining:.0f}s left < "
+              f"budget {budget:.0f}s", file=sys.stderr)
 
 
 def orchestrate():
@@ -356,23 +405,31 @@ def orchestrate():
           "PANIDX_BENCH_BIG": "0"}, 300, "cpu-fallback"),
     ]
     for env, tmo, label in attempts:
+        # the inner process prints a complete JSON line after EACH finished
+        # measurement (m=12 first, then the m=14 upgrade) and reads this
+        # deadline to decide whether the upgrade fits; on timeout the kill
+        # only ever costs the upgrade, never the phase-1 result
+        env["PANIDX_BENCH_DEADLINE"] = str(time.monotonic() + tmo - 20)
+        timed_out = False
         try:
             r = subprocess.run([sys.executable, here, "--inner"], env=env,
                                capture_output=True, timeout=tmo)
-        except subprocess.TimeoutExpired:
-            print(f"[bench] {label} attempt timed out after {tmo}s", file=sys.stderr)
-            continue
-        sys.stderr.write(r.stderr.decode(errors="replace"))
-        out = r.stdout.decode(errors="replace").strip().splitlines()
-        if r.returncode == 0 and out and out[-1].startswith("{"):
+            stdout, stderr, rc = r.stdout, r.stderr, r.returncode
+        except subprocess.TimeoutExpired as e:
+            print(f"[bench] {label} attempt timed out after {tmo}s",
+                  file=sys.stderr)
+            stdout, stderr, rc = e.stdout or b"", e.stderr or b"", None
+            timed_out = True
+        sys.stderr.write(stderr.decode(errors="replace"))
+        out = [l for l in stdout.decode(errors="replace").splitlines()
+               if l.startswith("{")]
+        if out and (rc == 0 or timed_out):
+            rec = json.loads(out[-1])
             if label == "cpu-fallback":
-                rec = json.loads(out[-1])
                 rec["unit"] += f" [{label}]"
-                print(json.dumps(rec))
-            else:
-                print(out[-1])
+            print(json.dumps(rec))
             return 0
-        print(f"[bench] {label} attempt failed (rc={r.returncode})", file=sys.stderr)
+        print(f"[bench] {label} attempt failed (rc={rc})", file=sys.stderr)
     print(json.dumps({"metric": "mem_find_reads_per_s", "value": 0,
                       "unit": "reads/s (bench could not run)", "vs_baseline": 0}))
     return 1

@@ -60,6 +60,13 @@ def _resolve_mer_len(arg: int, min_len: int, n: int) -> int:
         cap = 8
     else:
         cap = 14 if n < 2**31 else 13
+    # scale with index size: cap 4^m at ~128n entries - deeper tables on a
+    # small index are mostly empty intervals and their build/cache/transfer
+    # dwarfs the index they serve (a 2 Mbp index must not trigger a 3.2 GB
+    # m=14 table - advisor r3). 128x keeps the measured m=14 optimum at the
+    # 4 Mbp bench config (PERF.md round 3 sweep) while a 100 kbp fixture
+    # resolves to m=11 (13 MB).
+    cap = min(cap, int(np.log2(max(128 * n, 4)) / 2))
     m = min(cap, min_len - 1)
     return m if m >= 4 else 0
 
@@ -177,11 +184,14 @@ def cmd_find_mems(args) -> int:
         mer_m = _resolve_mer_len(args.mer_len, args.min_len, idx.n)
         mer_args = ()
         if mer_m:
-            from .ops.mertable import cached_mer_table, read_mer_keys
+            from .ops.mertable import get_mer_table, read_mer_keys
 
             cache_path = (None if args.no_mer_cache
                           else f"{args.ri}.mer{mer_m}.npz")
-            mt_np = cached_mer_table(idx, mer_m, path=cache_path)
+            # tables=None: the builder makes its own single-chip ckpt tables
+            # (freed after the build) - the padded mesh tables are laid out
+            # for the sharded step, not for a replicated build
+            mt_np, _ = get_mer_table(idx, mer_m, path=cache_path)
             mk, mv = read_mer_keys(codes, lens, mer_m)
         step = make_distributed_serving_step(
             mesh, capacity=args.mem_capacity, tag_capacity=args.tag_capacity,
@@ -264,15 +274,18 @@ def cmd_find_mems(args) -> int:
         mer_kw = {}
         mer_m = _resolve_mer_len(args.mer_len, args.min_len, idx.n)
         if mer_m:
-            from .ops.mertable import cached_mer_table, read_mer_keys
+            from .ops.mertable import get_mer_table, read_mer_keys
 
             # the table is a pure function of (index, m): persist it next to
             # the index so serving pays the expansion once per index, not
-            # once per process (VERDICT r1: cold start)
+            # once per process (VERDICT r1: cold start). Built on-device
+            # when a device is present (~70s at m=14 vs tens of minutes of
+            # host numpy - VERDICT r3 item 3), reusing the serving tables.
             cache_path = (None if args.no_mer_cache
                           else f"{args.ri}.mer{mer_m}.npz")
-            mt_np = cached_mer_table(idx, mer_m, path=cache_path)
-            mt = jnp.asarray(mt_np, t.run_start.dtype)
+            mt_np, mt_dev = get_mer_table(idx, mer_m, path=cache_path, tables=t)
+            mt = (mt_dev if mt_dev is not None
+                  else jnp.asarray(mt_np, t.run_start.dtype))
             mk, mv = read_mer_keys(codes, lens, mer_m)
             mer_kw = dict(mer_table=mt, mer_keys=jnp.asarray(mk),
                           mer_valid=jnp.asarray(mv), mer_m=mer_m)
@@ -587,7 +600,7 @@ def cmd_merge_tags(args) -> int:
     from .core.merge import merge_tags_pipeline
 
     return merge_tags_pipeline(args.gbz, args.ri, args.tags_dir, args.output,
-                               window=args.window)
+                               window=args.window, chunk_runs=args.chunk_runs)
 
 
 def main(argv=None) -> int:
@@ -692,6 +705,10 @@ def main(argv=None) -> int:
     mt.add_argument("output")
     mt.add_argument("--window", type=int, default=1 << 22,
                     help="BWT rows processed per batch (bounds peak memory)")
+    mt.add_argument("--chunk-runs", type=int, default=1 << 20,
+                    help="input-cursor refill size in runs per tag file "
+                         "(the ring-buffer analog, merge_tags.cpp:221-245; "
+                         "bounds input-side resident memory)")
     mt.set_defaults(fn=cmd_merge_tags)
 
     args = p.parse_args(argv)

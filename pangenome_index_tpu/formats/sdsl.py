@@ -345,9 +345,15 @@ def read_sd_vector(buf) -> SdVector:
         if m >= _NATIVE_MIN and _bitio():
             from .. import native
 
-            ones_idx = native.set_bits_native(high_words, nbits, m)
+            # capacity m+1 so an over-populated (corrupt) high bit-vector is
+            # detected instead of silently truncated to m ones (advisor r3)
+            ones_idx = native.set_bits_native(high_words, nbits, m + 1)
         else:
             ones_idx = np.flatnonzero(_words_to_bits(high_words, nbits) == 1)
+        if len(ones_idx) != m:
+            raise ValueError(
+                f"sd_vector: high bit-vector has {len(ones_idx)}"
+                f"{'+' if len(ones_idx) > m else ''} ones, expected {m}")
         hi_vals = ones_idx - np.arange(m)
         positions = (hi_vals.astype(np.int64) << wl) | low
     else:

@@ -64,19 +64,33 @@ def build_mer_table(idx: RIndex, m: int) -> np.ndarray:
 
 _build_mer_jit = None
 
+#: levels at/below this depth run as one fori_loop over the full 4^FORI_BASE
+#: key space; deeper levels expand explicitly (4x per level). 12 keeps the
+#: fori carries at 3 x 67 MB while the last levels never double-buffer the
+#:  full-depth state - peak HBM at m=14 fell from ~10.7 GB (full-width fori:
+#: double-buffered 3.2 GB carries + 1 GB keys + 3.2 GB stack) to ~4.3 GB,
+#: which is what made the 600 Mbp + m=14 build crash the TPU worker with the
+#: 600 MB ckpt table resident (PERF.md round 3).
+FORI_BASE = 12
 
-def build_mer_table_device(t, m: int) -> "jax.Array":
-    """Device-side table build: batched extension over the FULL 4^m key
-    space with a fori_loop over the m levels (fixed [4^m] shapes).
 
-    Every key carries its own interval state; after level v, state[key] is
-    the bi-interval of key's length-v suffix (keys sharing low bits
-    duplicate work - an m/2x redundancy factor). The win is compile time:
-    one extend + one fori_loop compiles in seconds, where the
-    growing-shape expansion (4^1..4^m traced as 4m separate extends) took
-    minutes of XLA time per process and made serving cold-start ~190s
-    (PERF.md round 1). Device work at m=12 is a few seconds.
+def build_mer_table_device(t, m: int, fori_base: int | None = None) -> "jax.Array":
+    """Device-side table build, hybrid schedule.
 
+    Phase 1 - batched extension over the full 4^min(m, FORI_BASE) key space
+    with a fori_loop over the levels (fixed shapes, ONE compiled extend:
+    the growing-shape expansion traced as 4m separate extends took minutes
+    of XLA time per process and made serving cold-start ~190s, PERF.md
+    round 1). Every key carries its own interval state; after level v,
+    state[key] is the bi-interval of key's length-v suffix (keys sharing
+    low bits duplicate work - a bounded redundancy factor).
+
+    Phase 2 - explicit 4x expansion per remaining level (m - FORI_BASE
+    extra traced extends, only ever 2 at the m=14 default): peak memory is
+    old state + new state instead of a double-buffered full-width carry,
+    and the last level writes the [4^m, 3] output layout directly.
+
+    All extends run under lax.map slabs so gather temps stay O(slab).
     The jitted builder is module-level, so repeat calls with the same
     tables/m hit the jit cache instead of re-tracing."""
     global _build_mer_jit
@@ -88,14 +102,30 @@ def build_mer_table_device(t, m: int) -> "jax.Array":
 
         from .fmd import extend
 
-        @functools.partial(jax.jit, static_argnames="m")
-        def _build(t, m):
+        SLAB = 1 << 18
+
+        def _slabbed(fn, args, size):
+            slab = min(size, SLAB)
+            n_slabs = size // slab
+            res = jax.lax.map(fn, tuple(a.reshape((n_slabs, slab) + a.shape[1:])
+                                        for a in args))
+            return tuple(r.reshape((size,) + r.shape[2:]) for r in res)
+
+        def _ext_at(t, v):
+            def one(args):
+                kk, k1, kp1, s1 = args
+                # prepend the char left of the length-v suffix: 2-bit
+                # base at bit 2v; codes are 1,2,3,5 for bases 0,1,2,3
+                b = (kk >> (2 * v)) & 3
+                c = b + 1 + (b == 3)
+                return extend(t, k1, kp1, s1, c)
+            return one
+
+        @functools.partial(jax.jit, static_argnames=("m", "base"))
+        def _build(t, m, base):
             pd = t.pos_dtype
-            size = 4**m
-            # slab the key space: a full-width extend materializes
-            # [4^m, row] gather temps (1+ GB/temp at m=12 in checkpoint
-            # mode - HBM OOM); lax.map bounds live temps to one slab
-            slab = min(size, 1 << 18)
+            size = 4**base
+            slab = min(size, SLAB)
             n_slabs = size // slab
             keys = jnp.arange(size, dtype=jnp.int32).reshape(n_slabs, slab)
             k = jnp.zeros((n_slabs, slab), pd)
@@ -103,22 +133,28 @@ def build_mer_table_device(t, m: int) -> "jax.Array":
             s = jnp.full((n_slabs, slab), t.n, pd)
 
             def body(v, st):
-                def one(args):
-                    kk, k1, kp1, s1 = args
-                    # prepend the char left of the length-v suffix: 2-bit
-                    # base at bit 2v; codes are 1,2,3,5 for bases 0,1,2,3
-                    b = (kk >> (2 * v)) & 3
-                    c = b + 1 + (b == 3)
-                    return extend(t, k1, kp1, s1, c)
+                return jax.lax.map(_ext_at(t, v), (keys, *st))
 
-                return jax.lax.map(one, (keys, *st))
-
-            k, kp, s = jax.lax.fori_loop(0, m, body, (k, kp, s))
-            return jnp.stack((k.reshape(size), kp.reshape(size),
-                              s.reshape(size)), axis=1)
+            k, kp, s = jax.lax.fori_loop(0, base, body, (k, kp, s))
+            k, kp, s = (a.reshape(size) for a in (k, kp, s))
+            for v in range(base, m):
+                # new_key = b << (2v) | old_key: tile the old state 4x; the
+                # prepended base is read off the new key inside the extend
+                size *= 4
+                keys = jnp.arange(size, dtype=jnp.int32)
+                k, kp, s = (jnp.tile(a, 4) for a in (k, kp, s))
+                if v == m - 1:
+                    # final level emits the [4^m, 3] table layout directly
+                    def last(args, _v=v, _t=t):
+                        ek, ekp, es = _ext_at(_t, _v)(args)
+                        return (jnp.stack((ek, ekp, es), axis=-1),)
+                    return _slabbed(last, (keys, k, kp, s), size)[0]
+                k, kp, s = _slabbed(_ext_at(t, v), (keys, k, kp, s), size)
+            return jnp.stack((k, kp, s), axis=1)
 
         _build_mer_jit = _build
-    return _build_mer_jit(t, m)
+    base = min(m, FORI_BASE if fori_base is None else fori_base)
+    return _build_mer_jit(t, m, base)
 
 
 def mer_table_key(idx: RIndex, m: int) -> str:
@@ -162,6 +198,66 @@ def cached_mer_table(idx: RIndex, m: int, path=None) -> np.ndarray:
         except Exception as exc:
             print(f"mer cache {path}: not saved ({exc})", file=sys.stderr)
     return table
+
+
+def get_mer_table(idx: RIndex, m: int, path=None, tables=None):
+    """Seed table for serving: cache -> device build -> host build.
+
+    The production resolution order (VERDICT r3 item 3 - the CLI used to
+    host-build unconditionally, which at m=14 is 14 level passes over
+    4^14-key arrays with ~13 GB int64 rank temporaries and runs for tens of
+    minutes; the device build is ~70 s):
+
+    1. `path` cache with a matching content key (pure function of (index, m)).
+    2. On a non-CPU jax backend: `build_mer_table_device` against `tables`
+       (device-resident RIndexTables; built checkpoint-mode if not given),
+       persisted to `path`.
+    3. Host numpy build (small m / CPU-only environments), persisted.
+
+    Returns (table_np, table_device_or_None): when the device built it, the
+    device array is returned too so a serving engine avoids a d2h+h2d
+    round-trip of a multi-GB table."""
+    import sys
+
+    key = mer_table_key(idx, m)
+    if path is not None:
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                if str(z["key"]) == key:
+                    return z["table"], None
+                print(f"mer cache {path}: stale key, rebuilding", file=sys.stderr)
+        except FileNotFoundError:
+            pass
+        except Exception as exc:
+            print(f"mer cache {path}: unreadable ({exc}), rebuilding", file=sys.stderr)
+    import jax
+
+    table_dev = None
+    if jax.default_backend() != "cpu":
+        try:
+            if tables is None:
+                from .tables import rindex_to_device
+
+                tables = rindex_to_device(idx, checkpoint=idx.n < 2**31)
+            table_dev = build_mer_table_device(tables, m)
+            table = np.asarray(table_dev)
+        except Exception as exc:
+            print(f"mer table: device build failed ({type(exc).__name__}: {exc}); "
+                  f"falling back to host build", file=sys.stderr)
+            table_dev = None
+    if table_dev is None:
+        table = build_mer_table(idx, m)
+    if path is not None:
+        import os
+
+        try:
+            tmp = f"{path}.tmp{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                np.savez(fh, table=table, key=key)
+            os.replace(tmp, path)
+        except Exception as exc:
+            print(f"mer cache {path}: not saved ({exc})", file=sys.stderr)
+    return table, table_dev
 
 
 def seed_difficulty(mer_table, keys, valid, min_occ, lengths=None, m=None):

@@ -155,3 +155,68 @@ def test_serve_measure_mer_fallback(monkeypatch, ref_data):
                              mer_m=0, iters=1, measure_ext=False,
                              log=lambda s: None)
     np.testing.assert_array_equal(m["counts"], m0["counts"])
+
+
+def test_mer_table_device_hybrid_schedule(ref_data):
+    """The phase-2 explicit expansion (levels past fori_base) must produce
+    the identical table to the pure-fori schedule and the host build."""
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    t = rindex_to_device(idx)
+    from pangenome_index_tpu.ops.mertable import build_mer_table_device
+
+    for m, base in [(5, 2), (6, 5), (4, 4)]:
+        host = build_mer_table(idx, m)
+        dev = np.asarray(build_mer_table_device(t, m, fori_base=base))
+        np.testing.assert_array_equal(dev, host.astype(dev.dtype))
+
+
+def test_serve_measure_small_mer_m_attempts_build(ref_data):
+    """mer_m in {1,2,3} must still get one build attempt (advisor r3: the
+    old step-down range was empty there and raised without trying)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    import bench
+
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    rng = np.random.default_rng(5)
+    codes = rng.integers(1, 6, (32, 40)).astype(np.int32)
+    lens = np.full(32, 40, np.int32)
+    m = bench.serve_measure(idx, codes, lens, min_len=8, min_occ=1, chunk=32,
+                            mer_m=3, iters=1, measure_ext=False,
+                            log=lambda s: None)
+    assert m["mer_m"] == 3
+    m0 = bench.serve_measure(idx, codes, lens, min_len=8, min_occ=1, chunk=32,
+                             mer_m=0, iters=1, measure_ext=False,
+                             log=lambda s: None)
+    np.testing.assert_array_equal(m["counts"], m0["counts"])
+
+
+def test_serve_measure_cache_only_steps_down(tmp_path, ref_data):
+    """cache_only never builds: it steps down to a cached m, or serves
+    unseeded when nothing is cached - identical counts either way."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    import bench
+    from pangenome_index_tpu.ops.mertable import mer_table_key
+
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    rng = np.random.default_rng(5)
+    codes = rng.integers(1, 6, (32, 40)).astype(np.int32)
+    lens = np.full(32, 40, np.int32)
+    # no caches at all: must fall back to unseeded, not raise
+    m = bench.serve_measure(idx, codes, lens, min_len=8, min_occ=1, chunk=32,
+                            mer_m=6, iters=1, measure_ext=False,
+                            mer_cache_dir=str(tmp_path), cache_only=True,
+                            log=lambda s: None)
+    assert m["mer_m"] == 0
+    # cache only at m=5: a cache_only request for m=6 steps down to it
+    tbl = build_mer_table(idx, 5)
+    np.savez(tmp_path / f"mer_{mer_table_key(idx, 5)}.npz", table=tbl)
+    m5 = bench.serve_measure(idx, codes, lens, min_len=8, min_occ=1, chunk=32,
+                             mer_m=6, iters=1, measure_ext=False,
+                             mer_cache_dir=str(tmp_path), cache_only=True,
+                             log=lambda s: None)
+    assert m5["mer_m"] == 5
+    np.testing.assert_array_equal(m["counts"], m5["counts"])
