@@ -71,7 +71,8 @@ def encode_reads(reads, n_reads, read_len):
 def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                   chunk=CHUNK, mer_m=MER_M, iters=3, measure_ext=True,
                   mer_cache_dir=None, ckpt_block=64, cache_only=False,
-                  persist=True, log=lambda s: print(s, file=sys.stderr)):
+                  prefer_build=False, persist=True,
+                  log=lambda s: print(s, file=sys.stderr)):
     """Full device serving measurement on one chip: checkpoint-rank tables,
     on-device m-mer seed table, work-sorted chunking. Returns a dict with
     reads/s, LF-steps/s, and the per-read MEM counts (for cross-checks)."""
@@ -111,27 +112,52 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
         if mer_cache_dir is not None:
             cache_path = os.path.join(mer_cache_dir,
                                       f"mer_{mer_table_key(idx, m_try)}.npz")
+
+        def _load():
+            if cache_path is None:
+                return None
             try:
                 with np.load(cache_path, allow_pickle=False) as z:
-                    mer_table = jax.device_put(jnp.asarray(z["table"]), dev)
+                    tab = jax.device_put(jnp.asarray(z["table"]), dev)
                 log(f"[bench] mer table m={m_try} loaded from cache")
-                mer_m = m_try
-                break
+                return tab
             except FileNotFoundError:
-                pass
-        if cache_only:
-            log(f"[bench] mer table m={m_try}: no cache, build skipped "
-                f"(cache_only)")
+                return None
+
+        def _build():
+            if cache_only:
+                return None
+            try:
+                tab = build_mer_table_device(t, m_try)
+                np.asarray(tab[:4])  # force execution before declaring success
+                return tab
+            except Exception as e:
+                log(f"[bench] mer table m={m_try} build failed "
+                    f"({type(e).__name__}); stepping down")
+                return None
+
+        # prefer_build: an on-device build moves ~0 bytes over the
+        # host<->device link, where a cached multi-GB table's device_put has
+        # stalled past the driver timeout on this tunnel (BENCH_r03); with a
+        # healthy link the cache load is the cheaper path.
+        built = False
+        if prefer_build:
+            mer_table = _build()
+            built = mer_table is not None
+            if mer_table is None:
+                mer_table = _load()
+        else:
+            mer_table = _load()
+            if mer_table is None:
+                mer_table = _build()
+                built = mer_table is not None
+        if mer_table is None:
+            if cache_only:
+                log(f"[bench] mer table m={m_try}: no cache, build skipped "
+                    f"(cache_only)")
             continue
-        try:
-            mer_table = build_mer_table_device(t, m_try)
-            np.asarray(mer_table[:4])  # force execution before declaring success
-        except Exception as e:
-            log(f"[bench] mer table m={m_try} build failed ({type(e).__name__}); "
-                f"retrying at m={m_try - 1}")
-            mer_table = None
-            continue
-        if cache_path is not None and persist:
+        if built and cache_path is not None and persist \
+                and not os.path.exists(cache_path):
             host = np.asarray(mer_table)
             tmp = f"{cache_path}.tmp{os.getpid()}"
             with open(tmp, "wb") as fh:
@@ -234,7 +260,8 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
         log(f"[bench] LF/extension steps: {ext_rate/1e6:.1f} M/s "
             f"(each = 2 six-symbol rank queries)")
     return dict(device_rps=device_rps, ext_rate=ext_rate, counts=all_counts,
-                total_mems=total_mems, mer_m=mer_m, mer_setup_s=mer_setup_s)
+                total_mems=total_mems, mer_m=mer_m, mer_setup_s=mer_setup_s,
+                tables=t)
 
 
 def measure_ext_rate(t, n, lanes=4096):
@@ -343,17 +370,19 @@ def main():
             "seed_m": mer_m,
         }), flush=True)
 
-    m = serve_measure(idx, codes, lens, chunk=None, mer_m=12,
-                      mer_cache_dir=cache)
-    device_rps = m["device_rps"]
-
-    # CPU baseline: native C++ engine. 1 thread = the per-core baseline (the
-    # reference's deployment is one process per chromosome with OpenMP);
-    # 2 threads = every core this host has, for an honest multi-core point.
+    # prefer_build: the on-device build moves ~0 bytes over the tunnel; the
+    # 201 MB m=12 cache stays as the fallback if the build itself fails. On
+    # the XLA-CPU fallback backend the cache load is the only sane path.
+    prefer_build = jax.default_backend() != "cpu"
+    # CPU baseline FIRST (device-independent, ~1s): the JSON line can then
+    # go out the moment the device measurement lands. 1 thread = the
+    # per-core baseline (the reference's deployment is one process per
+    # chromosome with OpenMP); 2 threads = every core this host has, for an
+    # honest multi-core point.
     host2 = 0.0
     if native.available():
-        host_rps = native_baseline(idx, codes, lens, m["counts"], n_threads=1)
-        host2 = native_baseline(idx, codes, lens, m["counts"], n_threads=2)
+        host_rps = native_baseline(idx, codes, lens, n_threads=1)
+        host2 = native_baseline(idx, codes, lens, n_threads=2)
     else:
         t0 = time.perf_counter()
         host_mems = 0
@@ -362,26 +391,36 @@ def main():
         host_dt = time.perf_counter() - t0
         host_rps = BASELINE_READS / host_dt
         print(f"[bench] numpy host baseline: {host_rps:.1f} reads/s", file=sys.stderr)
-    emit(device_rps, host_rps, host2, m["mer_m"])
 
-    # m=14 upgrade: only when its table cache is already on local disk (never
-    # a device build here - the known worker-crash mode at big n) and the
-    # remaining wall budget covers a 16x bigger transfer at the rate phase 1
-    # just measured, plus a measurement. A lost upgrade costs nothing: the
-    # phase-1 line already stands.
-    from pangenome_index_tpu.ops.mertable import mer_table_key
-    have14 = os.path.exists(os.path.join(cache, f"mer_{mer_table_key(idx, 14)}.npz"))
+    m = serve_measure(idx, codes, lens, chunk=None, mer_m=12,
+                      mer_cache_dir=cache, prefer_build=prefer_build,
+                      persist=False, measure_ext=False)
+    device_rps = m["device_rps"]
+    emit(device_rps, host_rps, host2, m["mer_m"])
+    if native.available():
+        # cross-check device vs native MEM counts now that both exist
+        native_baseline(idx, codes, lens, m["counts"], n_threads=1)
+    ext = measure_ext_rate(m["tables"], idx.n)
+    print(f"[bench] LF/extension steps: {ext/1e6:.1f} M/s "
+          f"(each = 2 six-symbol rank queries)", file=sys.stderr)
+
+    # m=14 upgrade (+25% at the measured sweep, PERF.md round 3): on-device
+    # build first (~0 tunnel bytes; stable at bench-scale indexes - the
+    # worker-crash mode was 600 Mbp), cached npz as fallback. Only attempted
+    # with wall budget for a cold builder compile + build + measurement. A
+    # lost upgrade costs nothing: the phase-1 line already stands.
     remaining = (deadline - time.monotonic()) if deadline else float("inf")
-    budget = 16 * max(m["mer_setup_s"], 2.0) + 120
-    if have14 and remaining > budget:
+    budget = 300
+    if remaining > budget:
         print(f"[bench] m=14 upgrade: {remaining:.0f}s left, budget {budget:.0f}s",
               file=sys.stderr)
         m14 = serve_measure(idx, codes, lens, chunk=None, mer_m=14,
-                            mer_cache_dir=cache, cache_only=True,
-                            measure_ext=False)
+                            mer_cache_dir=cache, prefer_build=prefer_build,
+                            persist=False, measure_ext=False,
+                            cache_only=not prefer_build)
         if m14["mer_m"] == 14 and m14["device_rps"] > device_rps:
             emit(m14["device_rps"], host_rps, host2, 14)
-    elif have14:
+    else:
         print(f"[bench] m=14 upgrade skipped: {remaining:.0f}s left < "
               f"budget {budget:.0f}s", file=sys.stderr)
 

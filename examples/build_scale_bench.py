@@ -97,7 +97,7 @@ def main():
         t_load = log2(".ri load (vectorized)",
                       f"{idx2.n_runs/1e6:.1f}M runs")
         assert np.array_equal(idx2.run_len, idx.run_len)
-        rows = build_ckpt_rows(idx2, 64)
+        rows, _ = build_ckpt_rows(idx2, 64)
         log2("ckpt table build (chunked)",
              f"{rows.nbytes/1e6:.0f} MB = {rows.nbytes/idx.n:.2f} B/pos")
 

@@ -176,7 +176,9 @@ def cmd_find_mems(args) -> int:
         init_distributed()
         n_data, n_model = (int(v) for v in args.mesh.lower().split("x"))
         mesh = make_mesh(n_data, n_model)
-        use_ckpt = idx.n < 2**31 and args.rank_mode == "checkpoint"
+        # the two-level ckpt layout (ops/tables.py) serves any n now; the
+        # rows stay int32 (superblock-relative) at n >= 2^31
+        use_ckpt = args.rank_mode == "checkpoint"
         t_pad = pad_rindex_tables(idx, n_model, checkpoint=use_ckpt)
         tt = tags_to_device(tags)
         codes, lens = _pack_reads(reads)
@@ -263,10 +265,10 @@ def cmd_find_mems(args) -> int:
         from .ops.tagquery import query_tags_batch
 
         mode = args.rank_mode
-        if mode in ("checkpoint", "dense", "ultra") and idx.n >= 2**31:
-            # checkpoint rows index by pos>>6 in int32; dense/ultra would
-            # materialize O(n) int64 HBM tables (>=17 GB exactly when this
-            # fires) - bucketed is the only O(r) mode at this size
+        if mode in ("dense", "ultra") and idx.n >= 2**31:
+            # dense/ultra would materialize O(n) int64 HBM tables (>=17 GB
+            # exactly when this fires); checkpoint serves any n via the
+            # two-level superblock-relative layout (ops/tables.py)
             mode = "bucketed"
         t = rindex_to_device(idx, **({} if mode == "bucketed" else {mode: True}))
         tt = tags_to_device(tags)
@@ -413,7 +415,7 @@ def cmd_query_tags(args) -> int:
         from .ops.rank import count as count_batch
         from .ops.tables import rindex_to_device
 
-        t = rindex_to_device(idx, checkpoint=idx.n < 2**31)
+        t = rindex_to_device(idx, checkpoint=True)
         codes, lens = _pack_reads(reads)
         f, s = count_batch(t, jnp.asarray(codes), jnp.asarray(lens))
         ranges = list(zip(np.asarray(f).tolist(), np.asarray(s).tolist()))
@@ -593,7 +595,8 @@ def cmd_build_tags(args) -> int:
     from .core.tagbuild import build_tags_pipeline
 
     return build_tags_pipeline(args.gbz, args.rl_bwt, args.output, k=args.k,
-                               stats=args.stats)
+                               stats=args.stats, stream_sa=args.stream_sa,
+                               sa_window_bytes=args.sa_window_bytes)
 
 
 def cmd_merge_tags(args) -> int:
@@ -696,6 +699,12 @@ def main(argv=None) -> int:
     bt.add_argument("--k", type=int, default=31)
     bt.add_argument("--stats", action="store_true",
                     help="run the anchored pipeline for coverage statistics")
+    bt.add_argument("--stream-sa", action="store_true",
+                    help="never materialize the 16 B/row SA: windowed native "
+                         "psi walks per row window (O(r + window) memory - "
+                         "for imported whole-chromosome shards)")
+    bt.add_argument("--sa-window-bytes", type=int, default=2 << 30,
+                    help="per-pass SA window budget for --stream-sa")
     bt.set_defaults(fn=cmd_build_tags)
 
     mt = sub.add_parser("merge-tags")

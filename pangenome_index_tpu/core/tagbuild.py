@@ -138,20 +138,60 @@ def rle(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return values[starts], (ends - starts).astype(np.int64)
 
 
-def build_tags(gbz: GBZ, idx: RIndex, chunk: int = 1 << 24) -> TagArray:
+class PsiSAWindows:
+    """Windowed per-row SA via repeated native psi walks.
+
+    The reference's traversal streams tags with O(index + batch) memory
+    (algorithm.hpp:378-593); our SA-based build used to require the full
+    per-row arrays (16 B/row - 9.6 GB at 600 Mbp, ~350 GB at a 22 Gbp
+    chromosome shard). Each window() call re-runs the O(r)-memory native
+    walk recording only rows in [lo, hi), trading one O(n) pass per window
+    (40+ M steps/s, lanes across OpenMP threads) for the O(n) arrays."""
+
+    def __init__(self, idx: RIndex, n_threads: int = 0):
+        r = idx.n_runs
+        sym = idx.run_sym.astype(np.int64)
+        self.idx = idx
+        self.psi_base = idx.C[sym] + idx.cum[np.arange(r), sym]
+        self.is_end = idx.run_sym == 0
+        self.n_threads = n_threads
+        self.seq_lengths = idx.seq_lengths
+
+    def window(self, lo: int, hi: int):
+        """(sa_seq, sa_pos) for BWT rows [lo, hi)."""
+        from .. import native
+
+        res = native.psi_walk_native(
+            self.idx.run_start, self.psi_base, self.is_end,
+            self.idx.n, self.idx.n_seq, n_threads=self.n_threads,
+            full_sa=True, window=(lo, hi))
+        seq_len, sa_seq, sa_t = res[4], res[5], res[6]
+        self.seq_lengths = seq_len
+        return sa_seq, seq_len[sa_seq] - 1 - sa_t
+
+
+def build_tags(gbz: GBZ, idx: RIndex, chunk: int = 1 << 24,
+               sa_window_bytes: int = 2 << 30,
+               flat_bytes_cap: int = 8 << 30,
+               n_threads: int = 0) -> TagArray:
     """Tag array over BWT rows [n_seq, n) in the algorithm-format coordinate
     system (positions relative to the first non-endmarker row, matching the
     stream build_tags serializes).
 
-    Chunked form of rle(tags_per_row(...)): the flat per-character tag array
-    is filled per visit window and the SA gather + RLE run per row window
-    with a boundary-run carry, so peak temporaries are O(chunk) instead of
-    the ~40 B/char of one-shot int64 intermediates (vi/offs/rows/gather
-    index/pre-RLE tags) - the tags phase set the whole build plane's peak
-    RSS (PERF.md). Output equality vs the one-shot spec is tested at
-    sub-data chunk sizes (tests/test_tagbuild.py)."""
-    if idx.sa_seq is None:
-        raise ValueError("r-index must be built with keep_sa=True")
+    Chunked form of rle(tags_per_row(...)): the SA gather + RLE run per row
+    window with a boundary-run carry, so peak temporaries are O(chunk)
+    (tests/test_tagbuild.py asserts equality at sub-data chunk sizes).
+
+    Memory modes (both exact):
+    * per-row SA: resident idx.sa_seq/sa_pos when the index kept them;
+      otherwise windowed native psi walks (PsiSAWindows) of
+      sa_window_bytes/16 rows per pass - tag-build memory no longer
+      includes the full 16 B/row SA product (VERDICT r3 item 5).
+    * per-char tags: a materialized flat array (8 B/char) while it fits
+      flat_bytes_cap, else a searchsorted into the per-visit cumulative
+      lengths (O(#visits) memory, one extra log(#visits) probe per row).
+    """
+    stream_sa = idx.sa_seq is None
     n_seq = idx.n_seq
     seq_map = text_seq_map(gbz, n_seq)
     visits, vptr = gbz.index.table().extract_all(np.array(seq_map, np.int64))
@@ -161,42 +201,81 @@ def build_tags(gbz: GBZ, idx: RIndex, chunk: int = 1 << 24) -> TagArray:
     vl = node_lens[nid - first]
     cum_vl = np.concatenate(([0], np.cumsum(vl)))
     lengths = cum_vl[vptr[1:]] - cum_vl[vptr[:-1]]
-    expect = idx.seq_lengths - 1
-    if not np.array_equal(lengths, expect):
-        raise ValueError(f"path lengths {lengths} != BWT sequence lengths {expect}")
+
+    def check_lengths(seq_lengths):
+        expect = seq_lengths - 1
+        if not np.array_equal(lengths, expect):
+            raise ValueError(
+                f"path lengths {lengths} != BWT sequence lengths {expect}")
+
+    if stream_sa:
+        from .. import native
+
+        if not (native.available()
+                and hasattr(native.get_lib(), "panindex_psi_walk")):
+            raise ValueError("r-index must be built with keep_sa=True "
+                             "(streamed tag build needs the native psi walk)")
+        provider = PsiSAWindows(idx, n_threads)
+        if provider.seq_lengths is not None:
+            check_lengths(provider.seq_lengths)
+        win = max(chunk, (sa_window_bytes // 16) & ~63)
+    else:
+        provider = None
+        check_lengths(idx.seq_lengths)
+        win = idx.n  # resident arrays: one "window"
 
     total = int(cum_vl[-1])
-    flat = np.empty(total, np.int64)
     packed = (nid << 11) | (rev << 10)
-    v0 = 0
-    while v0 < len(visits):
-        v1 = min(max(int(np.searchsorted(cum_vl, cum_vl[v0] + chunk)), v0 + 1),
-                 len(visits))
-        a, b = int(cum_vl[v0]), int(cum_vl[v1])
-        reps = vl[v0:v1]
-        offs = np.arange(b - a, dtype=np.int64) - np.repeat(cum_vl[v0:v1] - a, reps)
-        flat[a:b] = np.repeat(packed[v0:v1], reps) | offs
-        v0 = v1
+    flat = None
+    if total * 8 <= flat_bytes_cap:
+        flat = np.empty(total, np.int64)
+        v0 = 0
+        while v0 < len(visits):
+            v1 = min(max(int(np.searchsorted(cum_vl, cum_vl[v0] + chunk)), v0 + 1),
+                     len(visits))
+            a, b = int(cum_vl[v0]), int(cum_vl[v1])
+            reps = vl[v0:v1]
+            offs = np.arange(b - a, dtype=np.int64) - np.repeat(cum_vl[v0:v1] - a, reps)
+            flat[a:b] = np.repeat(packed[v0:v1], reps) | offs
+            v0 = v1
 
     starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+
+    def tags_of(seq, pos):
+        gidx = starts[np.asarray(seq, np.int64)] + pos
+        if flat is not None:
+            return flat[gidx]
+        vi = np.searchsorted(cum_vl, gidx, side="right") - 1
+        return packed[vi] | (gidx - cum_vl[vi])
+
     out_v, out_l = [], []
     carry_v, carry_l = None, 0
-    for s in range(n_seq, idx.n, chunk):
-        e = min(idx.n, s + chunk)
-        t = flat[starts[np.asarray(idx.sa_seq[s:e], np.int64)] + idx.sa_pos[s:e]]
-        v, ln = rle(t)
-        if v.size == 0:
-            continue
-        if carry_v is not None:
-            if v[0] == carry_v:
-                ln = ln.copy()
-                ln[0] += carry_l
-            else:
-                out_v.append(np.array([carry_v], np.int64))
-                out_l.append(np.array([carry_l], np.int64))
-        carry_v, carry_l = int(v[-1]), int(ln[-1])
-        out_v.append(v[:-1])
-        out_l.append(ln[:-1])
+    checked = not stream_sa
+    for w0 in range(n_seq, idx.n, win):
+        w1 = min(idx.n, w0 + win)
+        if provider is not None:
+            w_seq, w_pos = provider.window(w0, w1)
+            if not checked:
+                check_lengths(provider.seq_lengths)
+                checked = True
+        else:
+            w_seq, w_pos = idx.sa_seq[w0:w1], idx.sa_pos[w0:w1]
+        for s in range(0, w1 - w0, chunk):
+            e = min(w1 - w0, s + chunk)
+            t = tags_of(w_seq[s:e], w_pos[s:e])
+            v, ln = rle(t)
+            if v.size == 0:
+                continue
+            if carry_v is not None:
+                if v[0] == carry_v:
+                    ln = ln.copy()
+                    ln[0] += carry_l
+                else:
+                    out_v.append(np.array([carry_v], np.int64))
+                    out_l.append(np.array([carry_l], np.int64))
+            carry_v, carry_l = int(v[-1]), int(ln[-1])
+            out_v.append(v[:-1])
+            out_l.append(ln[:-1])
     if carry_v is not None:
         out_v.append(np.array([carry_v], np.int64))
         out_l.append(np.array([carry_l], np.int64))
@@ -206,7 +285,9 @@ def build_tags(gbz: GBZ, idx: RIndex, chunk: int = 1 << 24) -> TagArray:
 
 
 def build_tags_pipeline(gbz_path: str, rlbwt_path: str, output_path: str,
-                        k: int = 31, stats: bool = False) -> int:
+                        k: int = 31, stats: bool = False,
+                        stream_sa: bool = False,
+                        sa_window_bytes: int = 2 << 30) -> int:
     """CLI driver (panidx build-tags): direct SA-based construction; with
     stats=True also runs the anchored pipeline for the coverage fractions the
     reference reports (build_tags.cpp:124-126, 163-165). Per-phase wall-clock
@@ -222,7 +303,10 @@ def build_tags_pipeline(gbz_path: str, rlbwt_path: str, output_path: str,
     t = time.perf_counter()
     gbz = load_gbz(gbz_path)
     t = _phase(t, "Loading the graph")
-    idx = build_rindex(read_rlbwt(rlbwt_path), keep_sa=True)
+    # stream_sa: never materialize the 16 B/row SA - the tag gather re-walks
+    # psi per row window instead (PsiSAWindows); the memory mode for imported
+    # whole-chromosome shards where the SA arrays alone exceed the host
+    idx = build_rindex(read_rlbwt(rlbwt_path), keep_sa=not stream_sa)
     t = _phase(t, "Building the r-index")
     if stats:
         from .anchor import anchor_kmers, extend_runs
@@ -241,7 +325,7 @@ def build_tags_pipeline(gbz_path: str, rlbwt_path: str, output_path: str,
         print(f"The fraction of the tag arrays covered after extending the kmers is: "
               f"{covered2} / {idx.n} = {covered2 / idx.n}", file=sys.stderr)
         t = _phase(t, "Extending kmers")
-    tags = build_tags(gbz, idx)
+    tags = build_tags(gbz, idx, sa_window_bytes=sa_window_bytes)
     t = _phase(t, "Traversing all paths (tag gather + RLE)")
     data = tagfmt.write_algorithm(tags)
     with open(output_path, "wb") as fh:

@@ -187,13 +187,17 @@ def count_native(idx, codes: np.ndarray, lengths: np.ndarray, n_threads: int = 0
 
 def psi_walk_native(run_start: np.ndarray, psi_base: np.ndarray,
                     is_end: np.ndarray, n: int, n_seq: int,
-                    n_threads: int = 0, full_sa: bool = False):
+                    n_threads: int = 0, full_sa: bool = False,
+                    window: tuple[int, int] | None = None):
     """Run-length-bounded psi walk (src/cpp/psi_walk.cpp): the O(r)-memory
     replacement for the numpy full-permutation walk in build_rindex. Returns
     (head_seq, head_t, tail_seq, tail_t, seq_len) - lane + step at every run
     head/tail plus per-sequence lengths (incl. endmarker). With full_sa=True,
-    two extra [n] arrays (sa_seq, sa_t) give the per-row lane + step - the
-    O(n) product keep_sa builds need for the tag gather."""
+    two extra arrays (sa_seq, sa_t) give the per-row lane + step; `window`
+    = (lo, hi) restricts them to rows [lo, hi) (stored at i - lo) so the
+    streamed tag build keeps O(r + window) memory per pass instead of the
+    full 16 B/row product. n_threads partitions lanes over OpenMP threads
+    (lanes partition the rows - no synchronization; 0 = OpenMP default)."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native engine unavailable")
@@ -207,10 +211,12 @@ def psi_walk_native(run_start: np.ndarray, psi_base: np.ndarray,
     tail_t = np.zeros(r, np.int64)
     seq_len = np.zeros(n_seq, np.int64)
     if full_sa:
-        sa_seq = np.zeros(n, np.int64)
-        sa_t = np.zeros(n, np.int64)
+        lo, hi = window if window is not None else (0, n)
+        sa_seq = np.zeros(hi - lo, np.int64)
+        sa_t = np.zeros(hi - lo, np.int64)
         sa_args = (_ptr(sa_seq, ctypes.c_int64), _ptr(sa_t, ctypes.c_int64))
     else:
+        lo, hi = 0, 0
         sa_args = (None, None)
     lib.panindex_psi_walk(
         _ptr(run_start, ctypes.c_int64), _ptr(psi_base, ctypes.c_int64),
@@ -219,7 +225,7 @@ def psi_walk_native(run_start: np.ndarray, psi_base: np.ndarray,
         _ptr(head_seq, ctypes.c_int64), _ptr(head_t, ctypes.c_int64),
         _ptr(tail_seq, ctypes.c_int64), _ptr(tail_t, ctypes.c_int64),
         _ptr(seq_len, ctypes.c_int64), ctypes.c_int32(n_threads),
-        *sa_args,
+        *sa_args, ctypes.c_int64(lo), ctypes.c_int64(hi),
     )
     out = (head_seq, head_t, tail_seq, tail_t, seq_len)
     return out + (sa_seq, sa_t) if full_sa else out

@@ -77,14 +77,22 @@ def ckpt_row_rank6(row, pos, width: int):
 
 
 def _ckpt_rank6(t: RIndexTables, pos):
-    """Checkpoint-mode rank6: ONE 64B gather + SWAR nibble counting."""
+    """Checkpoint-mode rank6: ONE 64B gather + SWAR nibble counting.
+
+    Two-level layout (n >= 2^31): rows hold superblock-relative int32
+    counts; the absolute base is one more gather into the tiny replicated
+    ckpt_super table (its width statically encodes super_shift)."""
     pos = jnp.asarray(pos)
     # bucket size is encoded in the row width (16 -> 64 codes, 24 -> 128):
     # static at trace time, so no extra table field is needed
     width = t.ckpt.shape[-1]
     shift = 6 if width == 16 else 7
     row = t.ckpt[pos >> shift]                 # the one gather
-    return ckpt_row_rank6(row, pos, width)
+    r6 = ckpt_row_rank6(row, pos, width)
+    if t.ckpt_super is not None:
+        ss = t.ckpt_super.shape[-1] - 6
+        r6 = t.ckpt_super[pos >> ss][..., :6] + r6
+    return r6
 
 
 def rank(t: RIndexTables, pos, code):

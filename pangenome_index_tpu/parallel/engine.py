@@ -40,6 +40,7 @@ def run_specs(t: RIndexTables) -> RIndexTables:
         C=P(), samples=P(), last_sorted=P(), last_to_run=P(),
         n=P(), n_seq=P(), max_len=P(),
         ckpt=P("model", None) if has_ckpt else None,
+        ckpt_super=P() if t.ckpt_super is not None else None,
     )
 
 
@@ -49,7 +50,8 @@ def _rank_provider(t_local: RIndexTables):
     binary-search run-table form."""
     if t_local.ckpt is not None:
         return lambda pos: distributed_ckpt_rank6(t_local.ckpt, pos,
-                                                  axis="model")
+                                                  axis="model",
+                                                  super_base=t_local.ckpt_super)
     return lambda pos: distributed_rank6(
         t_local.run_start, t_local.run_sym, t_local.cum, pos, axis="model")
 

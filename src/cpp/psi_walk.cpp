@@ -15,11 +15,18 @@
 //    a step's narrow + psi computation touches one cache line.
 //  * lanes (sequences) are software-pipelined: each round issues the coarse
 //    prefetch for every lane, then the record prefetch, then the dependent
-//    work - turning one long dependent-miss chain per lane into n_seq
+//    work - turning one long dependent-miss chain per lane into many
 //    overlapped chains (memory-level parallelism).
 //
-// Across lanes the walks partition the BWT rows, so every head/tail slot is
-// written exactly once - threads over lanes need no synchronization.
+// Across lanes the walks partition the BWT rows, so every head/tail/sa slot
+// is written exactly once - OpenMP threads over lane subsets need no
+// synchronization (each thread software-pipelines its own subset).
+//
+// sa_seq/sa_t recording is windowed (rows in [win_lo, win_hi) stored at
+// i - win_lo): the streamed tag build (core/tagbuild.py) re-runs the walk
+// once per row window so tag-build memory is O(r + window) instead of the
+// full 16 B/row SA product (reference analog: the traversal streams tags,
+// algorithm.hpp:378-593).
 //
 // psi(i) = psi_base[j] + (i - run_start[j]) where j = run_of(i) and
 // psi_base[j] = C[sym_j] + cum[j][sym_j]  (FastLocate::psi, r-index.cpp:530).
@@ -37,6 +44,60 @@ struct RunRec {
     int64_t base2;  // (psi_base << 1) | is_endmarker
 };
 
+// Walk the lane subset [s_begin, s_end): software-pipelined rounds over the
+// subset's active lanes. Writes only row-owned slots (head/tail of runs whose
+// rows this subset's walks visit; sa slots for visited rows in the window).
+void walk_lanes(const std::vector<RunRec>& rec,
+                const std::vector<int64_t>& coarse, int S,
+                int64_t s_begin, int64_t s_end,
+                int64_t* head_seq, int64_t* head_t,
+                int64_t* tail_seq, int64_t* tail_t,
+                int64_t* seq_len,
+                int64_t* sa_seq, int64_t* sa_t,
+                int64_t win_lo, int64_t win_hi)
+{
+    int64_t n_lanes = s_end - s_begin;
+    if (n_lanes <= 0) return;
+    std::vector<int64_t> cur(n_lanes), t(n_lanes, 0), jv(n_lanes);
+    std::vector<int64_t> lanes(n_lanes);
+    for (int64_t a = 0; a < n_lanes; ++a) {
+        cur[a] = s_begin + a;   // lane s starts at BWT row s
+        lanes[a] = a;
+    }
+    int64_t active = n_lanes;
+    while (active > 0) {
+        for (int64_t a = 0; a < active; ++a)
+            __builtin_prefetch(&coarse[cur[lanes[a]] >> S]);
+        for (int64_t a = 0; a < active; ++a) {
+            int64_t l = lanes[a];
+            jv[l] = coarse[cur[l] >> S];
+            __builtin_prefetch(&rec[jv[l]]);
+        }
+        int64_t w = 0;
+        for (int64_t a = 0; a < active; ++a) {
+            int64_t l = lanes[a];
+            int64_t s = s_begin + l;
+            int64_t i = cur[l];
+            int64_t j = jv[l];
+            while (rec[j + 1].start <= i) ++j;
+            if (i == rec[j].start) { head_seq[j] = s; head_t[j] = t[l]; }
+            if (i == rec[j + 1].start - 1) { tail_seq[j] = s; tail_t[j] = t[l]; }
+            if (sa_seq && i >= win_lo && i < win_hi) {
+                sa_seq[i - win_lo] = s;
+                sa_t[i - win_lo] = t[l];
+            }
+            if (rec[j].base2 & 1) {
+                seq_len[s] = t[l] + 1;          // lane done: drop from pool
+            } else {
+                cur[l] = (rec[j].base2 >> 1) + (i - rec[j].start);
+                ++t[l];
+                lanes[w++] = l;
+            }
+        }
+        active = w;
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -46,10 +107,13 @@ extern "C" {
 // run's first row, tail_seq/tail_t at its last row; seq_len[lane] = sequence
 // length including the endmarker. Suffix offsets follow by the reference's
 // distance flip (r-index.cpp:1082-1083): offset = seq_len[seq] - 1 - t.
-// When sa_seq/sa_t are non-null ([n] each) the walk additionally records the
-// full per-row (lane, step) assignment - the O(n) product the tag build
-// consumes (core/tagbuild.py:tags_per_row); suffix offsets are derived by the
-// caller via the same distance flip.
+// When sa_seq/sa_t are non-null ([win_hi - win_lo] each) the walk records the
+// (lane, step) assignment of every visited row in [win_lo, win_hi) at index
+// i - win_lo - the windowed product the streamed tag build consumes
+// (core/tagbuild.py); suffix offsets are derived by the caller via the same
+// distance flip. n_threads > 1 partitions lanes across OpenMP threads (the
+// lanes partition the rows, so no synchronization is needed); <= 0 uses the
+// OpenMP default.
 void panindex_psi_walk(
     const int64_t* run_start,  // [r]
     const int64_t* psi_base,   // [r] C[sym]+cum[j][sym]
@@ -58,9 +122,9 @@ void panindex_psi_walk(
     int64_t* head_seq, int64_t* head_t,
     int64_t* tail_seq, int64_t* tail_t,
     int64_t* seq_len, int32_t n_threads,
-    int64_t* sa_seq, int64_t* sa_t)
+    int64_t* sa_seq, int64_t* sa_t,
+    int64_t win_lo, int64_t win_hi)
 {
-    (void)n_threads;
     // interleaved run records + sentinel (start = n ends every scan)
     std::vector<RunRec> rec(r + 1);
     for (int64_t j = 0; j < r; ++j)
@@ -82,38 +146,28 @@ void panindex_psi_walk(
         }
     }
 
-    // software-pipelined lane rounds
-    std::vector<int64_t> cur(n_seq), t(n_seq, 0), jv(n_seq);
-    std::vector<int64_t> lanes(n_seq);
-    for (int64_t s = 0; s < n_seq; ++s) { cur[s] = s; lanes[s] = s; }
-    int64_t active = n_seq;
-    while (active > 0) {
-        for (int64_t a = 0; a < active; ++a)
-            __builtin_prefetch(&coarse[cur[lanes[a]] >> S]);
-        for (int64_t a = 0; a < active; ++a) {
-            int64_t s = lanes[a];
-            jv[s] = coarse[cur[s] >> S];
-            __builtin_prefetch(&rec[jv[s]]);
+#ifdef _OPENMP
+    int T = n_threads > 0 ? n_threads : omp_get_max_threads();
+    if (T > n_seq) T = (int)n_seq;
+    if (T > 1) {
+        #pragma omp parallel num_threads(T)
+        {
+            int tid = omp_get_thread_num();
+            int nt = omp_get_num_threads();
+            int64_t per = (n_seq + nt - 1) / nt;
+            int64_t lo = (int64_t)tid * per;
+            int64_t hi = lo + per < n_seq ? lo + per : n_seq;
+            walk_lanes(rec, coarse, S, lo, hi, head_seq, head_t,
+                       tail_seq, tail_t, seq_len, sa_seq, sa_t,
+                       win_lo, win_hi);
         }
-        int64_t w = 0;
-        for (int64_t a = 0; a < active; ++a) {
-            int64_t s = lanes[a];
-            int64_t i = cur[s];
-            int64_t j = jv[s];
-            while (rec[j + 1].start <= i) ++j;
-            if (i == rec[j].start) { head_seq[j] = s; head_t[j] = t[s]; }
-            if (i == rec[j + 1].start - 1) { tail_seq[j] = s; tail_t[j] = t[s]; }
-            if (sa_seq) { sa_seq[i] = s; sa_t[i] = t[s]; }
-            if (rec[j].base2 & 1) {
-                seq_len[s] = t[s] + 1;          // lane done: drop from pool
-            } else {
-                cur[s] = (rec[j].base2 >> 1) + (i - rec[j].start);
-                ++t[s];
-                lanes[w++] = s;
-            }
-        }
-        active = w;
+        return;
     }
+#else
+    (void)n_threads;
+#endif
+    walk_lanes(rec, coarse, S, 0, n_seq, head_seq, head_t,
+               tail_seq, tail_t, seq_len, sa_seq, sa_t, win_lo, win_hi);
 }
 
 }  // extern "C"

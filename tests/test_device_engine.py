@@ -220,7 +220,52 @@ def test_ckpt_rows_chunked_equals_oneshot(setup):
     from pangenome_index_tpu.ops.tables import build_ckpt_rows
     idx, _, _ = setup
     for blk in (64, 128):
-        one = build_ckpt_rows(idx, ckpt_block=blk, chunk=1 << 30)
+        one, _ = build_ckpt_rows(idx, ckpt_block=blk, chunk=1 << 30)
         for chunk in (blk, 5 * blk, 1 << 12):
             np.testing.assert_array_equal(
-                build_ckpt_rows(idx, ckpt_block=blk, chunk=chunk), one)
+                build_ckpt_rows(idx, ckpt_block=blk, chunk=chunk)[0], one)
+
+
+def test_two_level_ckpt_rows_reconstruct_single_level(setup):
+    """Two-level rows (superblock-relative occ + ckpt_super bases) must
+    reconstruct the absolute single-level rows exactly (the n >= 2^31
+    layout, exercised here with a small forced super_shift)."""
+    from pangenome_index_tpu.ops.tables import build_ckpt_rows
+    idx, _, _ = setup
+    single, none = build_ckpt_rows(idx, ckpt_block=64)
+    assert none is None
+    for ss in (8, 10, 13):
+        rows, sup = build_ckpt_rows(idx, ckpt_block=64, super_shift=ss)
+        assert sup is not None and sup.shape[1] == 6 + ss
+        # payload words identical
+        np.testing.assert_array_equal(rows[:, 6:], single[:, 6:])
+        sb = (np.arange(rows.shape[0], dtype=np.int64) << 6) >> ss
+        np.testing.assert_array_equal(rows[:, :6] + sup[sb, :6], single[:, :6])
+        # chunked build equality in two-level form too
+        rows2, sup2 = build_ckpt_rows(idx, ckpt_block=64, super_shift=ss,
+                                      chunk=1 << 9)
+        np.testing.assert_array_equal(rows2, rows)
+        np.testing.assert_array_equal(sup2, sup)
+
+
+def test_two_level_ckpt_rank_and_mems_match(setup):
+    """rank6 and the full MEM engine through the two-level checkpoint tables
+    equal the single-level/host results."""
+    idx, t_ref, lines = setup
+    t2 = rindex_to_device(idx, checkpoint=True, super_shift=9)
+    assert t2.ckpt_super is not None
+    rng = np.random.default_rng(3)
+    pos = rng.integers(0, idx.n + 1, size=256)
+    host = np.stack([idx.rank6(int(p)) for p in pos])
+    dev = np.asarray(rank.rank6(t2, jnp.asarray(pos, t2.pos_dtype)))
+    np.testing.assert_array_equal(dev, host)
+    reads = _make_reads(lines, rng, 12, length=40)
+    L = max(len(r) for r in reads)
+    codes = np.zeros((len(reads), L), np.int32)
+    lens = np.array([len(r) for r in reads], np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = BYTE_TO_CODE[np.frombuffer(r, np.uint8)]
+    ref = find_mems_batch(t_ref, jnp.asarray(codes), jnp.asarray(lens), 10, 1, capacity=16)
+    res = find_mems_batch(t2, jnp.asarray(codes), jnp.asarray(lens), 10, 1, capacity=16)
+    for a, b in zip(res, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -110,3 +110,43 @@ def test_distributed_ckpt_serving_matches_single(ref_data, with_seeds):
     assert int(total) == int(np.asarray(ref.count).sum())
     for a, b in zip(res, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_distributed_two_level_ckpt_matches_single(ref_data):
+    """Model-sharded serving of the TWO-LEVEL checkpoint layout (the
+    n >= 2^31 representation: superblock-relative int32 rows + replicated
+    absolute bases) equals the single-device engine - VERDICT r3 item 4:
+    the mesh path used to silently drop to the slow bucketed rank exactly
+    where model sharding is the point."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    tags = tagfmt.load_tags_file(ref_data / "bidirectional_test/xy_bidirectional_compressed.tags")
+    with open(ref_data / "bidirectional_test/contigs_xy", "rb") as fh:
+        lines = [l for l in fh.read().split(b"\n") if l]
+    rng = np.random.default_rng(23)
+    B, L = 8, 30
+    codes = np.zeros((B, L), np.int32)
+    lens = np.full(B, L, np.int32)
+    for i in range(B):
+        l1 = lines[int(rng.integers(len(lines)))]
+        a = int(rng.integers(0, len(l1) - L))
+        codes[i, :] = BYTE_TO_CODE[np.frombuffer(l1[a : a + L], np.uint8)]
+
+    t_single = rindex_to_device(idx)
+    tt = tags_to_device(tags)
+    ref = find_mems_batch(t_single, jnp.asarray(codes), jnp.asarray(lens),
+                          10, 1, capacity=8)
+
+    mesh = make_mesh(4, 2)
+    t_pad = pad_rindex_tables(idx, 2, checkpoint=True, super_shift=9)
+    assert t_pad.ckpt_super is not None
+    step = make_distributed_serving_step(mesh, capacity=8, tag_capacity=32,
+                                         tables=t_pad)
+    with mesh:
+        res, tq, total = step(t_pad, tt, jnp.asarray(codes), jnp.asarray(lens),
+                              jnp.asarray(10, t_pad.pos_dtype),
+                              jnp.asarray(1, t_pad.pos_dtype))
+    assert int(total) == int(np.asarray(ref.count).sum())
+    for a, b in zip(res, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -123,3 +123,56 @@ def test_build_tags_chunked_equals_oneshot(ref_data):
         tags = build_tags(gbz, idx, chunk=chunk)
         np.testing.assert_array_equal(tags.pos_enc, want_v)
         np.testing.assert_array_equal(tags.run_lengths(), want_l)
+
+
+def test_build_tags_streamed_sa_equals_resident(ref_data):
+    """The streamed tag build (windowed native psi walks, no resident SA)
+    must reproduce the keep_sa build exactly, at window sizes that force
+    many passes, in both per-char tag modes (flat and searchsorted), and
+    with the walk's lanes split over threads (VERDICT r3 item 5)."""
+    from pangenome_index_tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    gbz = load_gbz(ref_data / "bidirectional_test/xy.gbz")
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"),
+                       keep_sa=True)
+    want = build_tags(gbz, idx)
+    idx_ns = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"),
+                          keep_sa=False)
+    assert idx_ns.sa_seq is None
+    for kw in (dict(sa_window_bytes=16 * 1024),          # many walk passes
+               dict(sa_window_bytes=16 * 1024, chunk=257),
+               dict(sa_window_bytes=1 << 30),            # single pass
+               dict(sa_window_bytes=16 * 1024, flat_bytes_cap=0),  # searchsorted
+               dict(sa_window_bytes=16 * 1024, n_threads=2)):
+        tags = build_tags(gbz, idx_ns, **kw)
+        np.testing.assert_array_equal(tags.pos_enc, want.pos_enc)
+        np.testing.assert_array_equal(tags.run_lengths(), want.run_lengths())
+
+
+def test_psi_walk_windowed_matches_full(ref_data):
+    """Windowed sa recording must equal the corresponding slice of the full
+    walk, and the threaded walk must equal the single-threaded one."""
+    from pangenome_index_tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    r = idx.n_runs
+    sym = idx.run_sym.astype(np.int64)
+    psi_base = idx.C[sym] + idx.cum[np.arange(r), sym]
+    full = native.psi_walk_native(idx.run_start, psi_base, idx.run_sym == 0,
+                                  idx.n, idx.n_seq, full_sa=True)
+    for lo, hi in [(0, idx.n), (100, 1000), (idx.n - 64, idx.n), (0, 1)]:
+        win = native.psi_walk_native(idx.run_start, psi_base, idx.run_sym == 0,
+                                     idx.n, idx.n_seq, full_sa=True,
+                                     window=(lo, hi))
+        for a, b in zip(win[:5], full[:5]):
+            np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(win[5], full[5][lo:hi])
+        np.testing.assert_array_equal(win[6], full[6][lo:hi])
+    thr = native.psi_walk_native(idx.run_start, psi_base, idx.run_sym == 0,
+                                 idx.n, idx.n_seq, n_threads=2, full_sa=True)
+    for a, b in zip(thr, full):
+        np.testing.assert_array_equal(a, b)
