@@ -71,7 +71,7 @@ def encode_reads(reads, n_reads, read_len):
 def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                   chunk=CHUNK, mer_m=MER_M, iters=3, measure_ext=True,
                   mer_cache_dir=None, ckpt_block=64, cache_only=False,
-                  prefer_build=False, persist=True,
+                  prefer_build=False, persist=True, pair_rank=None,
                   log=lambda s: print(s, file=sys.stderr)):
     """Full device serving measurement on one chip: checkpoint-rank tables,
     on-device m-mer seed table, work-sorted chunking. Returns a dict with
@@ -203,7 +203,7 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                   for k, v in mer_kw.items()}
             pending.append(find_mems_batch(
                 t, codes_d[s : s + chunk], lens_d[s : s + chunk],
-                min_len, min_occ, capacity=MEM_CAP, **kw))
+                min_len, min_occ, capacity=MEM_CAP, pair_rank=pair_rank, **kw))
         # dispatch every chunk before the first host fetch: jax dispatch is
         # async, so the chunks queue back-to-back on the device instead of
         # paying one tunnel round-trip of idle time between chunks
@@ -224,10 +224,12 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
             kw = {k: (v[:sub] if k in ("mer_keys", "mer_valid") else v)
                   for k, v in mer_kw.items()}
             np.asarray(find_mems_batch(t, codes_d[:sub], lens_d[:sub], min_len,
-                                       min_occ, capacity=MEM_CAP, **kw).count)  # compile
+                                       min_occ, capacity=MEM_CAP,
+                                       pair_rank=pair_rank, **kw).count)  # compile
             t0 = time.perf_counter()
             np.asarray(find_mems_batch(t, codes_d[:sub], lens_d[:sub], min_len,
-                                       min_occ, capacity=MEM_CAP, **kw).count)
+                                       min_occ, capacity=MEM_CAP,
+                                       pair_rank=pair_rank, **kw).count)
             dt = (time.perf_counter() - t0) / sub
             log(f"[bench] autotune chunk={cand}: {1/dt:.0f} reads/s")
             if best_dt is None or dt < best_dt:
@@ -436,8 +438,11 @@ def orchestrate():
     attempts = [
         (dict(os.environ), 480, "tpu"),
         # tunnel stalls are transient and all caches are warm after attempt
-        # one, so a short TPU retry usually lands (~60-120s warm)
+        # one, so a short TPU retry usually lands (~140-200s warm); a third
+        # try buys another chance to catch a healthy tunnel window (outages
+        # observed to clear within minutes)
         (dict(os.environ), 300, "tpu-retry"),
+        (dict(os.environ), 300, "tpu-retry2"),
         # fallback pins the small config: XLA-CPU at 20 Mbp would blow the
         # remaining budget and leave no result at all
         ({**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",

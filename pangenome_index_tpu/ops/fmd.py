@@ -13,14 +13,21 @@ kernel, two rank6 gathers per lane per step.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from ..utils.alphabet import COMP_CODE
-from .rank import rank6
+from .rank import ckpt_rank6_pair, rank6
 from .tables import RIndexTables
 
+#: paired-rank locality path (ckpt_rank6_pair): same-bucket second gathers
+#: clamp to a cache-resident row. Trace-time switch for A/B runs.
+PAIR_RANK = os.environ.get("PANIDX_PAIR_RANK", "1") != "0"
 
-def extend(t: RIndexTables, k, kp, s, code, forward=None, rank6_fn=None):
+
+def extend(t: RIndexTables, k, kp, s, code, forward=None, rank6_fn=None,
+           pair=None):
     """Batched bidirectional extension.
 
     k, kp, s, code: [B]. forward: bool [B] or None (all backward).
@@ -37,6 +44,9 @@ def extend(t: RIndexTables, k, kp, s, code, forward=None, rank6_fn=None):
     """
     if forward is None:
         forward = jnp.zeros(k.shape, dtype=bool)
+    # pair path is local-only: a custom provider (model-sharded) owns its own
+    # gathers. `pair` overrides the module default (A/B runs).
+    use_pair = (PAIR_RANK if pair is None else pair) and rank6_fn is None
     if rank6_fn is None:
         rank6_fn = lambda pos: rank6(t, pos)
     code = code.astype(jnp.int32)
@@ -50,10 +60,13 @@ def extend(t: RIndexTables, k, kp, s, code, forward=None, rank6_fn=None):
     bk = jnp.where(forward, kp, k)
     bkp = jnp.where(forward, k, kp)
 
-    # one fused double-width rank batch (halves kernel launches per step)
-    both = rank6_fn(jnp.concatenate((bk, bk + s)))
-    r_k = both[: k.shape[0]]    # [B, 6]
-    r_ks = both[k.shape[0] :]   # [B, 6]
+    if use_pair and t is not None and t.ckpt is not None:
+        r_k, r_ks = ckpt_rank6_pair(t, bk, bk + s)
+    else:
+        # one fused double-width rank batch (halves kernel launches per step)
+        both = rank6_fn(jnp.concatenate((bk, bk + s)))
+        r_k = both[: k.shape[0]]    # [B, 6]
+        r_ks = both[k.shape[0] :]   # [B, 6]
     delta = r_ks - r_k
 
     # sum_d kp_weight[ext_code, d]*delta[d] with kp_weight[c,d]=[comp d < comp c]

@@ -44,7 +44,7 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
                    min_len, min_occ, capacity: int = 32, rank6_fn=None,
                    mer_table=None, mer_keys=None, mer_valid=None,
                    mer_m: int = 0, with_stats: bool = False,
-                   cond_every: int = 8) -> MemResult:
+                   cond_every: int = 8, pair_rank: bool | None = None) -> MemResult:
     """codes: [B, L] int32 (0-padded), lengths: [B]. Returns MemResult.
 
     The pad column j == length reads code 0 - the reference's std::string NUL
@@ -165,7 +165,8 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
         act = p1 | p2 | p3
         jc = jnp.clip(j, 0, L).astype(jnp.int32)
         c = take_local(codes, jc)
-        nk, nkp, ns = extend(t, k, kp, s, c, forward=p2, rank6_fn=rank6_fn)
+        nk, nkp, ns = extend(t, k, kp, s, c, forward=p2, rank6_fn=rank6_fn,
+                             pair=pair_rank)
         fail = act & ((ns < min_occ) | (ns <= 0))
 
         # --- transitions ---
@@ -262,146 +263,4 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
 
 find_mems_batch = functools.partial(
     jax.jit, static_argnames=("capacity", "mer_m", "with_stats",
-                              "cond_every"))(find_mems_impl)
-
-
-@functools.partial(jax.jit, static_argnames=("capacity", "lanes"))
-def find_mems_stream(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
-                     min_len, min_occ, capacity: int = 32,
-                     lanes: int = 4096) -> MemResult:
-    """Streaming MEM engine: a fixed pool of `lanes` lanes processes all N
-    reads, refilling a lane with the next read the moment it finishes. This
-    removes lockstep straggler waste (wall time tracks the MEAN per-read work
-    instead of the max) and handles N >> lanes in a single kernel launch.
-
-    codes: [N, L], lengths: [N]; returns MemResult with [N, M] buffers.
-    """
-    N, L = codes.shape
-    B = min(lanes, N)
-    pd = t.pos_dtype
-    codes = jnp.pad(codes.astype(jnp.int32), ((0, 0), (0, 1)))
-    lengths = lengths.astype(pd)
-    min_len = jnp.asarray(min_len, pd)
-    min_occ = jnp.asarray(min_occ, pd)
-    Nn = t.n.astype(pd)
-    M = capacity
-
-    class S(NamedTuple):
-        phase: jax.Array
-        ridx: jax.Array          # read id per lane
-        next_read: jax.Array     # [] pool cursor
-        x: jax.Array
-        j: jax.Array
-        k: jax.Array
-        kp: jax.Array
-        s: jax.Array
-        k2: jax.Array
-        kp2: jax.Array
-        s2: jax.Array
-        m_out: jax.Array        # [N, M, 4] packed (start, end, bwt, size)
-        cnt: jax.Array          # [N]
-        it: jax.Array
-
-    z = jnp.zeros(B, pd)
-    st = S(phase=jnp.zeros(B, jnp.int32), ridx=jnp.arange(B, dtype=jnp.int32),
-           next_read=jnp.asarray(B, jnp.int32),
-           x=z, j=z, k=z, kp=z, s=z, k2=z, kp2=z, s2=z,
-           m_out=jnp.zeros((N, M, 4), pd),
-           cnt=jnp.zeros(N, jnp.int32), it=jnp.zeros((), jnp.int32))
-
-    max_iters = 8 * (L + 1) * (L + 1) * ((N + B - 1) // B) + 64
-
-    def cond(st: S):
-        return ((st.phase != 4).any() | (st.next_read < N)) & (st.it < max_iters)
-
-    def body(st: S) -> S:
-        phase, x, j = st.phase, st.x, st.j
-        k, kp, s = st.k, st.kp, st.s
-        k2, kp2, s2 = st.k2, st.kp2, st.s2
-        ridx, next_read = st.ridx, st.next_read
-
-        # --- refill finished lanes from the read pool ---
-        done = phase == 4
-        order = jnp.cumsum(done.astype(jnp.int32)) - 1
-        new_read = next_read + order
-        get = done & (new_read < N)
-        ridx = jnp.where(get, new_read, ridx)
-        next_read = jnp.minimum(next_read + done.sum(), N)
-        phase = jnp.where(get, 0, phase)
-        x = jnp.where(get, 0, x)
-
-        rlen = lengths[ridx]
-
-        # --- phase 0: begin a find_mems_function call at x ---
-        p0 = phase == 0
-        finished = p0 & ((x >= rlen) | (rlen - x < min_len))
-        enter1 = p0 & ~finished
-        phase = jnp.where(finished, 4, jnp.where(enter1, 1, phase))
-        j = jnp.where(enter1, x + min_len - 1, j)
-        k = jnp.where(enter1, 0, k)
-        kp = jnp.where(enter1, 0, kp)
-        s = jnp.where(enter1, Nn, s)
-
-        p1, p2, p3 = phase == 1, phase == 2, phase == 3
-        act = p1 | p2 | p3
-        jc = jnp.clip(j, 0, L)
-        c = codes[ridx, jc]
-        nk, nkp, ns = extend(t, k, kp, s, c, forward=p2)
-        fail = act & ((ns < min_occ) | (ns <= 0))
-
-        p1_fail = p1 & fail
-        p1_ok = p1 & ~fail
-        p1_boundary = p1_ok & ((j == x) | (j == 0))
-        p1_cont = p1_ok & ~p1_boundary
-        e1 = x + min_len
-        p1_to3 = p1_boundary & (e1 >= rlen)
-        p1_to2 = p1_boundary & ~(e1 >= rlen)
-
-        p2_fail = p2 & fail
-        p2_ok = p2 & ~fail
-        p2_to3 = p2_ok & (j + 1 >= rlen)
-        p2_cont = p2_ok & ~p2_to3
-
-        p3_fail = p3 & fail
-        p3_ok = p3 & ~fail
-        p3_done = p3_ok & (j - 1 == x)
-        p3_cont = p3_ok & ~p3_done
-
-        upd2 = p1_boundary | p2_ok
-        k2 = jnp.where(upd2, nk, k2)
-        kp2 = jnp.where(upd2, nkp, kp2)
-        s2 = jnp.where(upd2, ns, s2)
-
-        emit = p1_to3 | p2_fail | p2_to3
-        e_val = jnp.where(p1_to3, e1, jnp.where(p2_fail, j, rlen))
-
-        cnt_lane = st.cnt[ridx]
-        col = jnp.where(emit, cnt_lane, M)
-        vals = jnp.stack((x, e_val, k2, s2), axis=-1).astype(pd)
-        m_out = st.m_out.at[ridx, col].set(vals, mode="drop")
-        cnt = st.cnt.at[ridx].add(emit.astype(jnp.int32))
-
-        x = jnp.where(p1_fail | p3_fail, j + 1, jnp.where(p3_done, x + 1, x))
-        phase = jnp.where(p1_fail | p3_fail | p3_done, 0, phase)
-        phase = jnp.where(p1_to2, 2, phase)
-        phase = jnp.where(emit, 3, phase)
-
-        j = jnp.where(p1_cont | p3_cont, j - 1, j)
-        j = jnp.where(p1_to2 | p1_to3, e1, j)
-        j = jnp.where(p2_cont, j + 1, j)
-        j = jnp.where(p2_to3, rlen, j)
-
-        keep_new = p1_cont | p1_to2 | p2_cont | p3_cont
-        k = jnp.where(keep_new, nk, k)
-        kp = jnp.where(keep_new, nkp, kp)
-        s = jnp.where(keep_new, ns, s)
-        k = jnp.where(emit, 0, k)
-        kp = jnp.where(emit, 0, kp)
-        s = jnp.where(emit, Nn, s)
-
-        return S(phase, ridx, next_read, x, j, k, kp, s, k2, kp2, s2,
-                 m_out, cnt, st.it + 1)
-
-    st = jax.lax.while_loop(cond, body, st)
-    return MemResult(st.m_out[..., 0], st.m_out[..., 1], st.m_out[..., 2],
-                     st.m_out[..., 3], st.cnt, st.cnt > M)
+                              "cond_every", "pair_rank"))(find_mems_impl)

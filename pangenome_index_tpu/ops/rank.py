@@ -95,6 +95,31 @@ def _ckpt_rank6(t: RIndexTables, pos):
     return r6
 
 
+def ckpt_rank6_pair(t: RIndexTables, k, ks):
+    """(rank6(k), rank6(ks)) for the extension's paired queries, exploiting
+    same-bucket locality: when k and ks land in the same checkpoint bucket
+    (common late in extension chains, where interval size s = ks - k is
+    small), the second gather's index clamps to row 0 - a cache-resident row
+    - and the row is reused via a select. Same issued-row count, but the
+    distinct-line traffic drops with the same-bucket fraction; gather
+    locality is what large tables pay for (PERF.md round 3 diagnosis)."""
+    width = t.ckpt.shape[-1]
+    shift = 6 if width == 16 else 7
+    b1 = k >> shift
+    b2 = ks >> shift
+    same = b1 == b2
+    row1 = t.ckpt[b1]
+    row2 = t.ckpt[jnp.where(same, 0, b2)]
+    row2 = jnp.where(same[:, None], row1, row2)
+    r1 = ckpt_row_rank6(row1, k, width)
+    r2 = ckpt_row_rank6(row2, ks, width)
+    if t.ckpt_super is not None:
+        ss = t.ckpt_super.shape[-1] - 6
+        r1 = t.ckpt_super[k >> ss][..., :6] + r1
+        r2 = t.ckpt_super[ks >> ss][..., :6] + r2
+    return r1, r2
+
+
 def rank(t: RIndexTables, pos, code):
     """occ(code, [0, pos)) for batched pos [B] and codes [B] (or scalars)."""
     if t.ckpt is not None:

@@ -165,38 +165,6 @@ def test_locate_next_batch(setup):
     np.testing.assert_array_equal(nxt, sa[1:])
 
 
-def test_stream_engine_matches_batch(ref_data):
-    # the lane-refill streaming engine must produce the exact MEM buffers of
-    # the lockstep batch engine, including the capacity-overflow path
-    import jax.numpy as jnp
-
-    from pangenome_index_tpu.formats.rlbwt import read_rlbwt
-    from pangenome_index_tpu.models.rindex import build_rindex
-    from pangenome_index_tpu.ops.mems import find_mems_batch, find_mems_stream
-    from pangenome_index_tpu.ops.tables import rindex_to_device
-    from pangenome_index_tpu.utils.alphabet import BYTE_TO_CODE
-
-    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
-    t = rindex_to_device(idx)
-    with open(ref_data / "bidirectional_test/contigs_xy", "rb") as fh:
-        lines = [l for l in fh.read().split(b"\n") if l]
-    rng = np.random.default_rng(5)
-    N, L = 24, 64
-    codes = np.zeros((N, L), np.int32)
-    lens = rng.integers(L // 2, L + 1, N).astype(np.int32)
-    for i in range(N):
-        src = lines[int(rng.integers(len(lines)))]
-        a = int(rng.integers(0, len(src) - L))
-        codes[i, : lens[i]] = BYTE_TO_CODE[
-            np.frombuffer(src[a : a + int(lens[i])], np.uint8)]
-    cd, ln = jnp.asarray(codes), jnp.asarray(lens)
-    for cap in (2, 16):  # cap=2 exercises overflow/drop
-        ref = find_mems_batch(t, cd, ln, 8, 1, capacity=cap)
-        res = find_mems_stream(t, cd, ln, 8, 1, capacity=cap, lanes=7)
-        for a, b in zip(res, ref):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
 def test_checkpoint_128_block_rank_equality():
     """128-code checkpoint rows (0.75 B/pos) match the 64-code rows and the
     host rank for all 6 symbols."""
