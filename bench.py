@@ -1,12 +1,20 @@
 """Benchmark: MEM-finding throughput (reads/sec) on the TPU device engine.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line per finished measurement; the orchestrator reports the
+LAST one: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Workload: synthetic pangenome (8 haplotypes x 500 kbp, 0.2% SNP rate -> a
-~4 Mbp BWT with realistic run-length structure), 150 bp reads with 1% errors,
-min_len=20, min_occ=1 - the find_mems serving path (reference:
-src/find_mems.cpp). vs_baseline is the speedup over the single-thread native
-C++ engine (src/cpp) running the same algorithm on the same data.
+Workload: synthetic pangenome (20 Mbp across 8 haplotypes once cached, else
+4 Mbp), 150 bp reads with 1% errors, min_len=20, min_occ=1 - the find_mems
+serving path (reference: src/find_mems.cpp). vs_baseline is the speedup over
+ONE thread of the native C++ engine (src/cpp) on the same algorithm + data;
+vs_baseline_2core / vs_baseline_32core_ideal report the measured-2-thread and
+ideal-linear-32-core ratios so the JSON self-describes what the number means.
+
+Protocol (round 4): measure at m=12 seeds first and print the JSON the moment
+it lands, then opportunistically upgrade to m=14 (+~25%) and print again; the
+orchestrator harvests partial stdout on timeout, so a tunnel stall can only
+ever cost the upgrade, not the round's TPU number (BENCH_r03 fell to a CPU
+fallback exactly that way).
 
 Index build artifacts are cached under .bench_cache/ (first run pays the
 oracle BWT construction). examples/serve_scale_bench.py reuses serve_measure/

@@ -220,3 +220,19 @@ def test_serve_measure_cache_only_steps_down(tmp_path, ref_data):
                              log=lambda s: None)
     assert m5["mer_m"] == 5
     np.testing.assert_array_equal(m["counts"], m5["counts"])
+
+
+def test_get_mer_table_cache_roundtrip(tmp_path, ref_data):
+    """get_mer_table: build -> persist -> cache hit with matching key; the
+    device array is only returned on a fresh device build."""
+    from pangenome_index_tpu.ops.mertable import build_mer_table, get_mer_table
+
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    path = str(tmp_path / "seed.npz")
+    t1, dev1 = get_mer_table(idx, 5, path=path)
+    np.testing.assert_array_equal(np.asarray(t1, np.int64),
+                                  build_mer_table(idx, 5))
+    t2, dev2 = get_mer_table(idx, 5, path=path)
+    assert dev2 is None  # cache hit: no device build
+    np.testing.assert_array_equal(np.asarray(t2, np.int64),
+                                  np.asarray(t1, np.int64))
