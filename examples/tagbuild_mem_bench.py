@@ -60,7 +60,11 @@ def child(mode, total_mbp, n_haps, sa_window_mb, workdir):
         del lines
         idx = build_rindex(read_rlbwt(rl_path), keep_sa=False)
         t1 = time.perf_counter()
-        tags = build_tags(gbz, idx, sa_window_bytes=sa_window_mb << 20)
+        # PANIDX_TAGMEM_FLAT0=1 forces the searchsorted per-char mode (the
+        # configuration a 22 Gbp shard would use: no 8 B/char flat array)
+        cap = 0 if os.environ.get("PANIDX_TAGMEM_FLAT0") else 8 << 30
+        tags = build_tags(gbz, idx, sa_window_bytes=sa_window_mb << 20,
+                          flat_bytes_cap=cap)
     t2 = time.perf_counter()
     data = tagfmt.write_algorithm(tags)
     digest = hashlib.sha1(data).hexdigest()[:16]
