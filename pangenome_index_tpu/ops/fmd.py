@@ -22,8 +22,10 @@ from .rank import ckpt_rank6_pair, rank6
 from .tables import RIndexTables
 
 #: paired-rank locality path (ckpt_rank6_pair): same-bucket second gathers
-#: clamp to a cache-resident row. Trace-time switch for A/B runs.
-PAIR_RANK = os.environ.get("PANIDX_PAIR_RANK", "1") != "0"
+#: clamp to a cache-resident row. Trace-time switch for A/B runs
+#: (examples/filter_ab.py); default off until the A/B proves it on real
+#: hardware - flipping it changes the compiled serving program.
+PAIR_RANK = os.environ.get("PANIDX_PAIR_RANK", "0") != "0"
 
 
 def extend(t: RIndexTables, k, kp, s, code, forward=None, rank6_fn=None,
