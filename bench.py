@@ -402,37 +402,51 @@ def main():
         host_rps = BASELINE_READS / host_dt
         print(f"[bench] numpy host baseline: {host_rps:.1f} reads/s", file=sys.stderr)
 
-    m = serve_measure(idx, codes, lens, chunk=None, mer_m=12,
+    # PANIDX_BENCH_MER lets the orchestrator pin a small seed table for the
+    # XLA-CPU fallback (a 4^12 device build on that backend can blow the
+    # fallback timeout when no cache exists)
+    mer_first = int(os.environ.get("PANIDX_BENCH_MER", "12"))
+    # persist=True: only fires when the table was built AND no cache exists,
+    # so later attempts / the cpu-fallback find a warm cache (the ~400 MB
+    # d2h fetch at m=12 happens once per index, not per run)
+    m = serve_measure(idx, codes, lens, chunk=None, mer_m=mer_first,
                       mer_cache_dir=cache, prefer_build=prefer_build,
-                      persist=False, measure_ext=False)
+                      persist=True, measure_ext=False)
     device_rps = m["device_rps"]
     emit(device_rps, host_rps, host2, m["mer_m"])
-    if native.available():
-        # cross-check device vs native MEM counts now that both exist
-        native_baseline(idx, codes, lens, m["counts"], n_threads=1)
-    ext = measure_ext_rate(m["tables"], idx.n)
-    print(f"[bench] LF/extension steps: {ext/1e6:.1f} M/s "
-          f"(each = 2 six-symbol rank queries)", file=sys.stderr)
 
-    # m=14 upgrade (+25% at the measured sweep, PERF.md round 3): on-device
-    # build first (~0 tunnel bytes; stable at bench-scale indexes - the
-    # worker-crash mode was 600 Mbp), cached npz as fallback. Only attempted
-    # with wall budget for a cold builder compile + build + measurement. A
-    # lost upgrade costs nothing: the phase-1 line already stands.
-    remaining = (deadline - time.monotonic()) if deadline else float("inf")
-    budget = 300
-    if remaining > budget:
-        print(f"[bench] m=14 upgrade: {remaining:.0f}s left, budget {budget:.0f}s",
-              file=sys.stderr)
-        m14 = serve_measure(idx, codes, lens, chunk=None, mer_m=14,
-                            mer_cache_dir=cache, prefer_build=prefer_build,
-                            persist=False, measure_ext=False,
-                            cache_only=not prefer_build)
-        if m14["mer_m"] == 14 and m14["device_rps"] > device_rps:
-            emit(m14["device_rps"], host_rps, host2, 14)
-    else:
-        print(f"[bench] m=14 upgrade skipped: {remaining:.0f}s left < "
-              f"budget {budget:.0f}s", file=sys.stderr)
+    # everything past the first emitted line is opportunistic: a failure here
+    # must never cost the phase-1 result (the orchestrator now also harvests
+    # stdout from rc!=0 exits, but exiting 0 keeps the contract explicit)
+    try:
+        if native.available():
+            # cross-check device vs native MEM counts now that both exist
+            native_baseline(idx, codes, lens, m["counts"], n_threads=1)
+        ext = measure_ext_rate(m["tables"], idx.n)
+        print(f"[bench] LF/extension steps: {ext/1e6:.1f} M/s "
+              f"(each = 2 six-symbol rank queries)", file=sys.stderr)
+
+        # m=14 upgrade (+25% at the measured sweep, PERF.md round 3):
+        # on-device build first (~0 tunnel bytes; stable at bench-scale
+        # indexes - the worker-crash mode was 600 Mbp), cached npz as
+        # fallback. Only attempted with wall budget for a cold builder
+        # compile + build + measurement.
+        remaining = (deadline - time.monotonic()) if deadline else float("inf")
+        budget = 300
+        if prefer_build and remaining > budget:
+            print(f"[bench] m=14 upgrade: {remaining:.0f}s left, "
+                  f"budget {budget:.0f}s", file=sys.stderr)
+            m14 = serve_measure(idx, codes, lens, chunk=None, mer_m=14,
+                                mer_cache_dir=cache, prefer_build=True,
+                                persist=False, measure_ext=False)
+            if m14["mer_m"] == 14 and m14["device_rps"] > device_rps:
+                emit(m14["device_rps"], host_rps, host2, 14)
+        else:
+            print(f"[bench] m=14 upgrade skipped: {remaining:.0f}s left < "
+                  f"budget {budget:.0f}s (or cpu backend)", file=sys.stderr)
+    except Exception as exc:
+        print(f"[bench] post-measurement work failed ({type(exc).__name__}: "
+              f"{exc}); phase-1 line stands", file=sys.stderr)
 
 
 def orchestrate():
@@ -453,8 +467,12 @@ def orchestrate():
         (dict(os.environ), 300, "tpu-retry2"),
         # fallback pins the small config: XLA-CPU at 20 Mbp would blow the
         # remaining budget and leave no result at all
+        # the fallback also pins a small seed table: with no cache on disk
+        # the XLA-CPU backend would otherwise device-build 4^12 and blow
+        # the fallback timeout
         ({**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
-          "PANIDX_BENCH_BIG": "0"}, 300, "cpu-fallback"),
+          "PANIDX_BENCH_BIG": "0", "PANIDX_BENCH_MER": "8"}, 300,
+         "cpu-fallback"),
     ]
     for env, tmo, label in attempts:
         # the inner process prints a complete JSON line after EACH finished
@@ -475,7 +493,12 @@ def orchestrate():
         sys.stderr.write(stderr.decode(errors="replace"))
         out = [l for l in stdout.decode(errors="replace").splitlines()
                if l.startswith("{")]
-        if out and (rc == 0 or timed_out):
+        if out and rc not in (0, None):
+            # a crash AFTER a complete measurement line (e.g. the m=14
+            # upgrade died) must not discard the valid result
+            print(f"[bench] {label}: rc={rc} but a complete measurement "
+                  f"line was printed - using it", file=sys.stderr)
+        if out:
             rec = json.loads(out[-1])
             if label == "cpu-fallback":
                 rec["unit"] += f" [{label}]"

@@ -88,6 +88,8 @@ def main():
     prep = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--prep",
          str(total_mbp), str(n_haps), workdir])
+    if prep.returncode:
+        sys.exit(prep.returncode)
     for mode in ("streamed", "resident"):
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", mode,

@@ -193,7 +193,9 @@ def cmd_find_mems(args) -> int:
             # tables=None: the builder makes its own single-chip ckpt tables
             # (freed after the build) - the padded mesh tables are laid out
             # for the sharded step, not for a replicated build
-            mt_np, _ = get_mer_table(idx, mer_m, path=cache_path)
+            mt_np, mt_dev = get_mer_table(idx, mer_m, path=cache_path)
+            if mt_np is None:  # cache-less device build: fetch for resharding
+                mt_np = np.asarray(mt_dev)
             mk, mv = read_mer_keys(codes, lens, mer_m)
         step = make_distributed_serving_step(
             mesh, capacity=args.mem_capacity, tag_capacity=args.tag_capacity,

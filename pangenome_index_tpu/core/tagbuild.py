@@ -218,7 +218,9 @@ def build_tags(gbz: GBZ, idx: RIndex, chunk: int = 1 << 24,
         provider = PsiSAWindows(idx, n_threads)
         if provider.seq_lengths is not None:
             check_lengths(provider.seq_lengths)
-        win = max(chunk, (sa_window_bytes // 16) & ~63)
+        # honor the budget even below the RLE chunk size (the flag promises
+        # a per-pass memory bound); floor at 64 rows so progress is made
+        win = max(64, (sa_window_bytes // 16) & ~63)
     else:
         provider = None
         check_lengths(idx.seq_lengths)

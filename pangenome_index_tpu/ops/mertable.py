@@ -168,38 +168,6 @@ def mer_table_key(idx: RIndex, m: int) -> str:
     return h.hexdigest()[:16]
 
 
-def cached_mer_table(idx: RIndex, m: int, path=None) -> np.ndarray:
-    """Load the seed table from `path` when its content key matches the
-    index, else build and persist it there. Kills the serving cold-start:
-    the table is a pure function of (index, m), so a production engine
-    should pay the expansion once per index, not once per process."""
-    import sys
-
-    key = mer_table_key(idx, m)
-    if path is not None:
-        try:
-            with np.load(path, allow_pickle=False) as z:
-                if str(z["key"]) == key:
-                    return z["table"]
-                print(f"mer cache {path}: stale key, rebuilding", file=sys.stderr)
-        except FileNotFoundError:
-            pass
-        except Exception as exc:
-            print(f"mer cache {path}: unreadable ({exc}), rebuilding", file=sys.stderr)
-    table = build_mer_table(idx, m)
-    if path is not None:
-        import os
-
-        try:
-            tmp = f"{path}.tmp{os.getpid()}"
-            with open(tmp, "wb") as fh:
-                np.savez(fh, table=table, key=key)
-            os.replace(tmp, path)
-        except Exception as exc:
-            print(f"mer cache {path}: not saved ({exc})", file=sys.stderr)
-    return table
-
-
 def get_mer_table(idx: RIndex, m: int, path=None, tables=None):
     """Seed table for serving: cache -> device build -> host build.
 
@@ -240,14 +208,17 @@ def get_mer_table(idx: RIndex, m: int, path=None, tables=None):
 
                 tables = rindex_to_device(idx, checkpoint=idx.n < 2**31)
             table_dev = build_mer_table_device(tables, m)
-            table = np.asarray(table_dev)
+            # the multi-GB d2h fetch only pays off when the table is being
+            # persisted; a cache-less caller serves straight from the
+            # device array (table None in that case)
+            table = np.asarray(table_dev) if path is not None else None
         except Exception as exc:
             print(f"mer table: device build failed ({type(exc).__name__}: {exc}); "
                   f"falling back to host build", file=sys.stderr)
             table_dev = None
     if table_dev is None:
         table = build_mer_table(idx, m)
-    if path is not None:
+    if path is not None and table is not None:
         import os
 
         try:
