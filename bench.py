@@ -97,9 +97,12 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
     dev = jax.devices()[0]
     log(f"[bench] device: {dev}")
     # checkpoint tables: ONE 64B gather per rank6 query (see ops/tables.py);
-    # measured 6.3x the dense mode's extension rate on v5e (PERF.md round 2)
+    # measured 6.3x the dense mode's extension rate on v5e (PERF.md round 2).
+    # mem_only: MEM serving never touches the per-run/locate tables, which
+    # at 72M runs are ~2.4 GB of pure transfer (PERF.md round 4)
     t = jax.device_put(rindex_to_device(idx, checkpoint=True,
-                                        ckpt_block=ckpt_block), dev)
+                                        ckpt_block=ckpt_block,
+                                        mem_only=True), dev)
 
     # m-mer seed table (skips the first m extensions of MEM steps 1 and 3).
     # Device execution is ~1.5s but the builder's XLA compile is 90s+ cold

@@ -1,0 +1,68 @@
+"""TPU serving measurements on the big cached indexes (VERDICT r4 items 2/7).
+
+  600M : the 600 Mbp depth-90 index (n/r=33.4). mer_m=14 exercises the
+         hybrid on-device seed-table build at the scale that crashed the
+         TPU worker in round 3 (PERF.md:106-113) - the item-2 validation.
+  2.3G : the 2.304 Gbp depth-90 index (n = 2^31 + 156.5M) through the
+         two-level checkpoint + int64 position path - the item-7 serving
+         measurement.
+
+Usage: python examples/big_serve_probe.py [600M|2.3G] [mer_m]
+(indexes must already be cached by examples/bign_build_serve.py and the
+synth600 build; nothing here rebuilds them).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+CONFIGS = {
+    "600M": dict(base_len=6_666_666, n_haps=90, seed=13, mer_m=14),
+    "2.3G": dict(base_len=25_600_000, n_haps=90, seed=11, mer_m=12),
+}
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "600M"
+    cfg = CONFIGS[name]
+    mer_m = int(sys.argv[2]) if len(sys.argv) > 2 else cfg["mer_m"]
+
+    bench.setup_compilation_cache()
+    from pangenome_index_tpu.utils.synth import build_synth_index, synth_reads
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".bench_cache")
+    t0 = time.perf_counter()
+    idx, lines = build_synth_index(cfg["base_len"], cfg["n_haps"],
+                                   snp_rate=0.002, seed=cfg["seed"],
+                                   cache_dir=cache)
+    print(f"[{name}] n={idx.n} r={idx.n_runs} n/r={idx.n/idx.n_runs:.1f} "
+          f"load {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    reads = synth_reads(lines, bench.N_READS, bench.READ_LEN, error_rate=0.01,
+                        seed=1)
+    codes, lens = bench.encode_reads(reads, bench.N_READS, bench.READ_LEN)
+    del lines
+
+    # prefer_build: ~0 tunnel bytes for the seed table; step-down covers a
+    # build failure. persist only when no cache exists yet.
+    m = bench.serve_measure(idx, codes, lens, chunk=None, mer_m=mer_m,
+                            mer_cache_dir=cache, prefer_build=True,
+                            measure_ext=False)
+    r1 = bench.native_baseline(idx, codes, lens, m["counts"], n_threads=1)
+    print(json.dumps({
+        "scale": name, "n": idx.n, "r": int(idx.n_runs),
+        "mer_m": m["mer_m"],
+        "tpu_reads_per_s": round(m["device_rps"], 1),
+        "native_1t_reads_per_s": round(r1, 1),
+        "vs_core": round(m["device_rps"] / r1, 2),
+        "pos_dtype": "int64" if idx.n >= 2**31 else "int32",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,8 @@ def main():
         m = bench.serve_measure(idx, codes, lens, min_len=min_len,
                                 min_occ=min_occ, chunk=None, mer_m=mer_m,
                                 mer_cache_dir=cache, measure_ext=False,
-                                pair_rank=pr)
+                                pair_rank=pr, prefer_build=True,
+                                persist=False)
         results[label] = round(m["device_rps"], 1)
         results.setdefault("counts", int(m["counts"].sum()))
         assert int(m["counts"].sum()) == results["counts"], "count mismatch!"

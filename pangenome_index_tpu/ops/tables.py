@@ -177,7 +177,8 @@ def build_ckpt_rows(idx: RIndex, ckpt_block: int = 64,
 def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
                      dense: bool = False, ultra: bool = False,
                      checkpoint: bool = False, ckpt_block: int = 64,
-                     super_shift: int | None = None) -> RIndexTables:
+                     super_shift: int | None = None,
+                     mem_only: bool = False) -> RIndexTables:
     """Memory/speed spectrum for the rank hot path (per-chip choice; sharding
     over the mesh divides n and r per shard):
 
@@ -191,7 +192,16 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
       (per-bucket occ checkpoints + 64 packed 4-bit codes, counted with
       SWAR nibble math on the VPU). Same gather count as ultra at 1/24th
       the footprint - the serving default (see PERF.md round 2).
+
+    mem_only (requires checkpoint): ship 1-row stubs for the per-run
+    tables (run_sym/run_start/cum) and the locate machinery
+    (samples/last_sorted/last_to_run) - MEM finding/counting reads only
+    ckpt(+super), C and n, and at 72M runs the unused tables are ~2.4 GB
+    of HBM + host->device transfer. locate()/merge paths need the full
+    tables.
     """
+    if mem_only and not checkpoint:
+        raise ValueError("mem_only requires checkpoint mode")
     pd = dtype or _pick_dtype(idx.n, idx.n_seq * idx.max_len, idx.n_runs)
     samples_pad = np.concatenate((idx.samples, [0]))
     bucket_lo = None
@@ -219,6 +229,16 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
         rec_np[:, 1] = idx.run_sym
         rec_np[:, 2:8] = idx.cum
         rec = jnp.asarray(rec_np, pd)
+    run_sym_arr = idx.run_sym
+    run_start_arr = idx.run_start
+    last_sorted_arr = idx.last_sorted
+    last_to_run_arr = idx.last_to_run
+    if mem_only:
+        run_sym_arr = idx.run_sym[:1]
+        run_start_arr = idx.run_start[:1]  # keeps pos_dtype via jnp.asarray
+        last_sorted_arr = idx.last_sorted[:1]
+        last_to_run_arr = idx.last_to_run[:1]
+        samples_pad = samples_pad[:1]
     cum_arr = idx.cum
     if dense or ultra or checkpoint:
         # the per-run cum table is only read by the fallback rank path; do
@@ -237,13 +257,13 @@ def rindex_to_device(idx: RIndex, dtype=None, bucketed: bool = True,
         rank_table=rank_table,
         ckpt=ckpt,
         ckpt_super=ckpt_super,
-        run_sym=jnp.asarray(idx.run_sym, jnp.int8),
-        run_start=jnp.asarray(idx.run_start, pd),
+        run_sym=jnp.asarray(run_sym_arr, jnp.int8),
+        run_start=jnp.asarray(run_start_arr, pd),
         cum=jnp.asarray(cum_arr, pd),
         C=jnp.asarray(idx.C, pd),
         samples=jnp.asarray(samples_pad, pd),
-        last_sorted=jnp.asarray(idx.last_sorted, pd),
-        last_to_run=jnp.asarray(idx.last_to_run, pd),
+        last_sorted=jnp.asarray(last_sorted_arr, pd),
+        last_to_run=jnp.asarray(last_to_run_arr, pd),
         n=jnp.asarray(idx.n, pd),
         n_seq=jnp.asarray(idx.n_seq, pd),
         max_len=jnp.asarray(idx.max_len, pd),

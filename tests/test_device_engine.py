@@ -237,3 +237,22 @@ def test_two_level_ckpt_rank_and_mems_match(setup):
     res = find_mems_batch(t2, jnp.asarray(codes), jnp.asarray(lens), 10, 1, capacity=16)
     for a, b in zip(res, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mem_only_tables_match(setup):
+    """mem_only checkpoint tables (per-run/locate stubs) must serve MEM
+    finding identically - they ship only ckpt(+super), C and n."""
+    idx, t_ref, lines = setup
+    t = rindex_to_device(idx, checkpoint=True, mem_only=True)
+    assert t.run_start.shape[0] == 1 and t.samples.shape[0] == 1
+    rng = np.random.default_rng(31)
+    reads = _make_reads(lines, rng, 12, length=40)
+    L = max(len(r) for r in reads)
+    codes = np.zeros((len(reads), L), np.int32)
+    lens = np.array([len(r) for r in reads], np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = BYTE_TO_CODE[np.frombuffer(r, np.uint8)]
+    ref = find_mems_batch(t_ref, jnp.asarray(codes), jnp.asarray(lens), 10, 1, capacity=16)
+    res = find_mems_batch(t, jnp.asarray(codes), jnp.asarray(lens), 10, 1, capacity=16)
+    for a, b in zip(res, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
