@@ -405,10 +405,20 @@ def main():
         host_rps = BASELINE_READS / host_dt
         print(f"[bench] numpy host baseline: {host_rps:.1f} reads/s", file=sys.stderr)
 
-    # PANIDX_BENCH_MER lets the orchestrator pin a small seed table for the
-    # XLA-CPU fallback (a 4^12 device build on that backend can blow the
-    # fallback timeout when no cache exists)
+    # PANIDX_BENCH_MER overrides the first-phase seed size. On the XLA-CPU
+    # fallback backend a 4^12 build can blow the fallback timeout, so when
+    # no usable cache exists there, drop to a small table (builds in
+    # seconds); a cached m=12/11/10 table is still preferred.
     mer_first = int(os.environ.get("PANIDX_BENCH_MER", "12"))
+    if not prefer_build and "PANIDX_BENCH_MER" not in os.environ:
+        from pangenome_index_tpu.ops.mertable import mer_table_key
+
+        for mc in range(mer_first, mer_first - 3, -1):
+            if os.path.exists(os.path.join(cache, f"mer_{mer_table_key(idx, mc)}.npz")):
+                mer_first = mc
+                break
+        else:
+            mer_first = min(mer_first, 8)
     # persist=True: only fires when the table was built AND no cache exists,
     # so later attempts / the cpu-fallback find a warm cache (the ~400 MB
     # d2h fetch at m=12 happens once per index, not per run)
@@ -470,12 +480,10 @@ def orchestrate():
         (dict(os.environ), 300, "tpu-retry2"),
         # fallback pins the small config: XLA-CPU at 20 Mbp would blow the
         # remaining budget and leave no result at all
-        # the fallback also pins a small seed table: with no cache on disk
-        # the XLA-CPU backend would otherwise device-build 4^12 and blow
-        # the fallback timeout
+        # fallback pins the small config; main() itself drops to a small
+        # seed table on the cpu backend when no cache exists
         ({**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
-          "PANIDX_BENCH_BIG": "0", "PANIDX_BENCH_MER": "8"}, 300,
-         "cpu-fallback"),
+          "PANIDX_BENCH_BIG": "0"}, 300, "cpu-fallback"),
     ]
     for env, tmo, label in attempts:
         # the inner process prints a complete JSON line after EACH finished
