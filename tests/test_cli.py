@@ -38,6 +38,11 @@ def test_full_pipeline_byte_equality(ref_data, tmp_path):
     run(["build-tags", str(ref / "xy.gbz"), "xy.rl_bwt", "xy.tags"], tmp_path)
     assert (tmp_path / "xy.tags").read_bytes() == (ref / "xy_bidirectional.tags").read_bytes()
 
+    # streamed-SA mode (windowed native psi walks): same bytes
+    run(["build-tags", str(ref / "xy.gbz"), "xy.rl_bwt", "xy_s.tags",
+         "--stream-sa", "--sa-window-bytes", "16384"], tmp_path)
+    assert (tmp_path / "xy_s.tags").read_bytes() == (ref / "xy_bidirectional.tags").read_bytes()
+
     run(["convert-tags", "xy.tags", "xy_c.tags"], tmp_path)
     assert (tmp_path / "xy_c.tags").read_bytes() == (ref / "xy_bidirectional_compressed.tags").read_bytes()
 
