@@ -80,7 +80,7 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                   chunk=CHUNK, mer_m=MER_M, iters=3, measure_ext=True,
                   mer_cache_dir=None, ckpt_block=64, cache_only=False,
                   prefer_build=False, persist=True, pair_rank=None,
-                  log=lambda s: print(s, file=sys.stderr)):
+                  mem_only=False, log=lambda s: print(s, file=sys.stderr)):
     """Full device serving measurement on one chip: checkpoint-rank tables,
     on-device m-mer seed table, work-sorted chunking. Returns a dict with
     reads/s, LF-steps/s, and the per-read MEM counts (for cross-checks)."""
@@ -98,11 +98,13 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
     log(f"[bench] device: {dev}")
     # checkpoint tables: ONE 64B gather per rank6 query (see ops/tables.py);
     # measured 6.3x the dense mode's extension rate on v5e (PERF.md round 2).
-    # mem_only: MEM serving never touches the per-run/locate tables, which
-    # at 72M runs are ~2.4 GB of pure transfer (PERF.md round 4)
+    # mem_only (opt-in, big indexes): MEM serving never touches the
+    # per-run/locate tables, ~2.4 GB of pure transfer at 72M runs - but the
+    # stub shapes are a DIFFERENT compiled program, so the small-index bench
+    # keeps full tables and its warm compile cache (the driver-critical path)
     t = jax.device_put(rindex_to_device(idx, checkpoint=True,
                                         ckpt_block=ckpt_block,
-                                        mem_only=True), dev)
+                                        mem_only=mem_only), dev)
 
     # m-mer seed table (skips the first m extensions of MEM steps 1 and 3).
     # Device execution is ~1.5s but the builder's XLA compile is 90s+ cold

@@ -50,9 +50,11 @@ def main():
 
     # prefer_build: ~0 tunnel bytes for the seed table; step-down covers a
     # build failure. persist only when no cache exists yet.
+    # mem_only: at 72M runs the per-run/locate tables are ~2.4 GB of pure
+    # transfer that MEM serving never reads
     m = bench.serve_measure(idx, codes, lens, chunk=None, mer_m=mer_m,
                             mer_cache_dir=cache, prefer_build=True,
-                            measure_ext=False)
+                            measure_ext=False, mem_only=idx.n_runs > 30_000_000)
     r1 = bench.native_baseline(idx, codes, lens, m["counts"], n_threads=1)
     print(json.dumps({
         "scale": name, "n": idx.n, "r": int(idx.n_runs),
