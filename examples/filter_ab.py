@@ -41,9 +41,11 @@ def main():
     reads = synth_reads(lines, bench.N_READS, bench.READ_LEN, error_rate=0.01, seed=1)
     codes, lens = bench.encode_reads(reads, bench.N_READS, bench.READ_LEN)
 
-    results = {}
+    results = {"scale": scale, "cfg": f"ml={min_len} mo={min_occ} m={mer_m}"}
     # off -> on -> off bracketing: tunnel drift is +-20-30%, so the repeat
-    # baseline bounds it (PERF.md methodology)
+    # baseline bounds it (PERF.md methodology). Each leg prints immediately:
+    # the tunnel's healthy windows are minutes long, and a stall mid-bracket
+    # must not lose the legs already measured.
     for label, pr in (("pair_off", False), ("pair_on", True),
                       ("pair_off2", False)):
         m = bench.serve_measure(idx, codes, lens, min_len=min_len,
@@ -54,11 +56,10 @@ def main():
         results[label] = round(m["device_rps"], 1)
         results.setdefault("counts", int(m["counts"].sum()))
         assert int(m["counts"].sum()) == results["counts"], "count mismatch!"
+        print(json.dumps(results), flush=True)
     r1 = bench.native_baseline(idx, codes, lens, min_len=min_len,
                                min_occ=min_occ, n_threads=1)
     results["native_1t"] = round(r1, 1)
-    results["scale"] = scale
-    results["cfg"] = f"ml={min_len} mo={min_occ} m={mer_m}"
     print(json.dumps(results), flush=True)
 
 
