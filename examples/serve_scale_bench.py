@@ -44,7 +44,8 @@ def run_scale(name, base_len, n_haps, seed):
     # chunk=None = measurement autotune: the lane optimum is index-dependent
     # (shallow-hap configs want 4096, the deep-hap config 8192 - PERF.md), so
     # every scale races the candidates and serves at its own optimum
-    m = bench.serve_measure(idx, codes, lens, mer_cache_dir=cache, chunk=None)
+    m = bench.serve_measure(idx, codes, lens, mer_cache_dir=cache, chunk=None,
+                            prefer_build=True, persist=False)
     r1 = bench.native_baseline(idx, codes, lens, m["counts"], n_threads=1)
     r2 = bench.native_baseline(idx, codes, lens, m["counts"], n_threads=2)
     print(json.dumps({
