@@ -147,7 +147,7 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                 return tab
             except Exception as e:
                 log(f"[bench] mer table m={m_try} build failed "
-                    f"({type(e).__name__}); stepping down")
+                    f"({type(e).__name__}: {str(e)[:300]}); stepping down")
                 return None
 
         # prefer_build: an on-device build moves ~0 bytes over the
