@@ -193,3 +193,22 @@ def test_facade_api(ref_data):
     assert len(mems) == 1 and all(len(m) == 4 for m in mems[0])
     ri = px.load_rindex(ref_data / "bidirectional_test/xy.ri")
     assert ri.n == 8022
+
+
+def test_resolve_mer_len_scales_with_index_size():
+    """-1 auto caps the seed table at ~128n entries (advisor r3: a tiny
+    index must not trigger a multi-GB table) while keeping the measured
+    m=14 optimum at bench scale."""
+    from pangenome_index_tpu.cli import _resolve_mer_len
+
+    # CPU backend in tests: backend cap is 8; the size cap must bite below it
+    assert _resolve_mer_len(-1, 31, 100_000) <= 8
+    assert _resolve_mer_len(-1, 31, 500) < 8
+    # explicit m bypasses auto; min_len must exceed m
+    assert _resolve_mer_len(6, 31, 500) == 6
+    assert _resolve_mer_len(6, 6, 10**9) == 0
+    # the documented rule directly: cap = floor(log2(128n)/2)
+    import numpy as np
+    for n in (10**5, 4 * 10**6, 2 * 10**9):
+        m = _resolve_mer_len(-1, 99, n)
+        assert 4 ** m <= 128 * n
