@@ -176,27 +176,30 @@ def cmd_find_mems(args) -> int:
         init_distributed()
         n_data, n_model = (int(v) for v in args.mesh.lower().split("x"))
         mesh = make_mesh(n_data, n_model)
-        # the two-level ckpt layout (ops/tables.py) serves any n now; the
-        # rows stay int32 (superblock-relative) at n >= 2^31
-        use_ckpt = args.rank_mode == "checkpoint"
-        t_pad = pad_rindex_tables(idx, n_model, checkpoint=use_ckpt)
-        tt = tags_to_device(tags)
         codes, lens = _pack_reads(reads)
         n_reads = len(reads)
+        # mer table FIRST, padded mesh tables after: the builder makes its
+        # own single-chip ckpt tables (freed when it returns), so only one
+        # full table set is ever device-resident at a time (advisor r4: the
+        # old order had t_pad + the builder's tables co-resident on device 0
+        # exactly at the large indexes the mesh path exists for)
         mer_m = _resolve_mer_len(args.mer_len, args.min_len, idx.n)
         mer_args = ()
         if mer_m:
             from .ops.mertable import get_mer_table, read_mer_keys
 
-            cache_path = (None if args.no_mer_cache
-                          else f"{args.ri}.mer{mer_m}.npz")
-            # tables=None: the builder makes its own single-chip ckpt tables
-            # (freed after the build) - the padded mesh tables are laid out
-            # for the sharded step, not for a replicated build
-            mt_np, mt_dev = get_mer_table(idx, mer_m, path=cache_path)
+            mt_np, mt_dev, mer_m = get_mer_table(
+                idx, mer_m, path=None if args.no_mer_cache
+                else (lambda m: f"{args.ri}.mer{m}.npz"))
             if mt_np is None:  # cache-less device build: fetch for resharding
                 mt_np = np.asarray(mt_dev)
+            del mt_dev  # free the single-chip copy before t_pad lands
             mk, mv = read_mer_keys(codes, lens, mer_m)
+        # the two-level ckpt layout (ops/tables.py) serves any n now; the
+        # rows stay int32 (superblock-relative) at n >= 2^31
+        use_ckpt = args.rank_mode == "checkpoint"
+        t_pad = pad_rindex_tables(idx, n_model, checkpoint=use_ckpt)
+        tt = tags_to_device(tags)
         step = make_distributed_serving_step(
             mesh, capacity=args.mem_capacity, tag_capacity=args.tag_capacity,
             tables=t_pad, mer_m=mer_m)
@@ -284,10 +287,11 @@ def cmd_find_mems(args) -> int:
             # the index so serving pays the expansion once per index, not
             # once per process (VERDICT r1: cold start). Built on-device
             # when a device is present (~70s at m=14 vs tens of minutes of
-            # host numpy - VERDICT r3 item 3), reusing the serving tables.
-            cache_path = (None if args.no_mer_cache
-                          else f"{args.ri}.mer{mer_m}.npz")
-            mt_np, mt_dev = get_mer_table(idx, mer_m, path=cache_path, tables=t)
+            # host numpy - VERDICT r3 item 3), reusing the serving tables;
+            # on device-build failure the builder steps m down (advisor r4).
+            mt_np, mt_dev, mer_m = get_mer_table(
+                idx, mer_m, path=None if args.no_mer_cache
+                else (lambda m: f"{args.ri}.mer{m}.npz"), tables=t)
             mt = (mt_dev if mt_dev is not None
                   else jnp.asarray(mt_np, t.run_start.dtype))
             mk, mv = read_mer_keys(codes, lens, mer_m)

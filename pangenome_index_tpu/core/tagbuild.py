@@ -212,7 +212,7 @@ def build_tags(gbz: GBZ, idx: RIndex, chunk: int = 1 << 24,
         from .. import native
 
         if not (native.available()
-                and hasattr(native.get_lib(), "panindex_psi_walk")):
+                and hasattr(native.get_lib(), "panindex_psi_walk_v2")):
             raise ValueError("r-index must be built with keep_sa=True "
                              "(streamed tag build needs the native psi walk)")
         provider = PsiSAWindows(idx, n_threads)

@@ -193,7 +193,7 @@ def _native_walk_available() -> bool:
         return False
     from .. import native
 
-    return native.available() and hasattr(native.get_lib(), "panindex_psi_walk")
+    return native.available() and hasattr(native.get_lib(), "panindex_psi_walk_v2")
 
 
 def build_rindex_from_sa(rlbwt: RLBWT, seq_of_row: np.ndarray, pos_of_row: np.ndarray,

@@ -201,6 +201,13 @@ def psi_walk_native(run_start: np.ndarray, psi_base: np.ndarray,
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native engine unavailable")
+    if not hasattr(lib, "panindex_psi_walk_v2"):
+        # the window args were appended to the original signature; an old
+        # .so would silently ignore them and write a full-[n] SA into the
+        # (hi-lo)-sized buffers below (advisor r4) - fail loudly instead
+        raise RuntimeError(
+            "stale libpanindex_native.so: panindex_psi_walk_v2 missing "
+            "(delete the .so to trigger a rebuild)")
     run_start = np.ascontiguousarray(run_start, np.int64)
     psi_base = np.ascontiguousarray(psi_base, np.int64)
     is_end = np.ascontiguousarray(is_end, np.uint8)
@@ -218,7 +225,7 @@ def psi_walk_native(run_start: np.ndarray, psi_base: np.ndarray,
     else:
         lo, hi = 0, 0
         sa_args = (None, None)
-    lib.panindex_psi_walk(
+    lib.panindex_psi_walk_v2(
         _ptr(run_start, ctypes.c_int64), _ptr(psi_base, ctypes.c_int64),
         _ptr(is_end, ctypes.c_uint8),
         ctypes.c_int64(r), ctypes.c_int64(n), ctypes.c_int64(n_seq),

@@ -168,67 +168,113 @@ def mer_table_key(idx: RIndex, m: int) -> str:
     return h.hexdigest()[:16]
 
 
-def get_mer_table(idx: RIndex, m: int, path=None, tables=None):
-    """Seed table for serving: cache -> device build -> host build.
+#: host numpy builds past this m run for tens of minutes (14 level passes of
+#: int64 rank temporaries over 4^m keys); the host fallback caps m here
+HOST_BUILD_CAP = 10
+
+
+def get_mer_table(idx: RIndex, m: int, path=None, tables=None,
+                  min_m: int | None = None):
+    """Seed table for serving: cache -> device build (stepping m down on
+    failure) -> capped host build.
 
     The production resolution order (VERDICT r3 item 3 - the CLI used to
     host-build unconditionally, which at m=14 is 14 level passes over
     4^14-key arrays with ~13 GB int64 rank temporaries and runs for tens of
-    minutes; the device build is ~70 s):
+    minutes; the device build is ~70 s). Per m (from `m` down to `min_m`,
+    default m-2, mirroring bench.serve_measure's retry loop - a device-build
+    failure at big indexes is a reproducible worker/compile-helper mode, and
+    each -1 of m costs ~5% serving where a full-m host build costs a
+    cold-start that looks like a hang, advisor r4):
 
-    1. `path` cache with a matching content key (pure function of (index, m)).
+    1. `path(m_try)` cache with a matching content key (pure function of
+       (index, m)); `path` may also be a plain string, used for `m` only.
     2. On a non-CPU jax backend: `build_mer_table_device` against `tables`
        (device-resident RIndexTables; built checkpoint-mode if not given),
-       persisted to `path`.
-    3. Host numpy build (small m / CPU-only environments), persisted.
+       persisted to the cache path.
+    3. Host numpy build at min(m, HOST_BUILD_CAP), persisted.
 
-    Returns (table_np, table_device_or_None): when the device built it, the
-    device array is returned too so a serving engine avoids a d2h+h2d
-    round-trip of a multi-GB table."""
+    Returns (table_np, table_device_or_None, m_used): when the device built
+    it, the device array is returned too so a serving engine avoids a
+    d2h+h2d round-trip of a multi-GB table."""
     import sys
 
-    key = mer_table_key(idx, m)
-    if path is not None:
-        try:
-            with np.load(path, allow_pickle=False) as z:
-                if str(z["key"]) == key:
-                    return z["table"], None
-                print(f"mer cache {path}: stale key, rebuilding", file=sys.stderr)
-        except FileNotFoundError:
-            pass
-        except Exception as exc:
-            print(f"mer cache {path}: unreadable ({exc}), rebuilding", file=sys.stderr)
+    path_fn = path if callable(path) else (
+        (lambda mt: path if mt == m else None) if path is not None else
+        (lambda mt: None))
+    if min_m is None:
+        min_m = max(m - 2, 4)
     import jax
 
-    table_dev = None
-    if jax.default_backend() != "cpu":
-        try:
-            if tables is None:
-                from .tables import rindex_to_device
+    on_device = jax.default_backend() != "cpu"
+    tried_host = False
+    for m_try in range(m, min_m - 1, -1):
+        key = mer_table_key(idx, m_try)
+        mpath = path_fn(m_try)
+        if mpath is not None:
+            try:
+                with np.load(mpath, allow_pickle=False) as z:
+                    if str(z["key"]) == key:
+                        return z["table"], None, m_try
+                    print(f"mer cache {mpath}: stale key, rebuilding",
+                          file=sys.stderr)
+            except FileNotFoundError:
+                pass
+            except Exception as exc:
+                print(f"mer cache {mpath}: unreadable ({exc}), rebuilding",
+                      file=sys.stderr)
+        table = table_dev = None
+        if on_device:
+            try:
+                if tables is None:
+                    from .tables import rindex_to_device
 
-                tables = rindex_to_device(idx, checkpoint=idx.n < 2**31)
-            table_dev = build_mer_table_device(tables, m)
-            # the multi-GB d2h fetch only pays off when the table is being
-            # persisted; a cache-less caller serves straight from the
-            # device array (table None in that case)
-            table = np.asarray(table_dev) if path is not None else None
-        except Exception as exc:
-            print(f"mer table: device build failed ({type(exc).__name__}: {exc}); "
-                  f"falling back to host build", file=sys.stderr)
-            table_dev = None
-    if table_dev is None:
-        table = build_mer_table(idx, m)
-    if path is not None and table is not None:
-        import os
+                    tables = rindex_to_device(idx, checkpoint=idx.n < 2**31)
+                table_dev = build_mer_table_device(tables, m_try)
+                np.asarray(table_dev[:4])  # force execution before success
+                # the multi-GB d2h fetch only pays off when the table is
+                # being persisted; a cache-less caller serves straight from
+                # the device array (table None in that case)
+                table = np.asarray(table_dev) if mpath is not None else None
+            except Exception as exc:
+                print(f"mer table: device build failed at m={m_try} "
+                      f"({type(exc).__name__}: {exc}); stepping down",
+                      file=sys.stderr)
+                table_dev = None
+                continue
+        else:
+            if m_try > HOST_BUILD_CAP:
+                m_try = max(min_m, min(m_try, HOST_BUILD_CAP))
+                mpath = path_fn(m_try)
+            table = build_mer_table(idx, m_try)
+            tried_host = True
+        if mpath is not None and table is not None:
+            _persist_mer(mpath, table, mer_table_key(idx, m_try))
+        return table, table_dev, m_try
+    # every device attempt failed: capped host build as the last resort
+    if not tried_host:
+        m_host = min(m, HOST_BUILD_CAP)
+        print(f"mer table: all device builds failed; host build at "
+              f"m={m_host} (capped from {m})", file=sys.stderr)
+        table = build_mer_table(idx, m_host)
+        mpath = path_fn(m_host)
+        if mpath is not None:
+            _persist_mer(mpath, table, mer_table_key(idx, m_host))
+        return table, None, m_host
+    raise RuntimeError("mer table build failed at every m")
 
-        try:
-            tmp = f"{path}.tmp{os.getpid()}"
-            with open(tmp, "wb") as fh:
-                np.savez(fh, table=table, key=key)
-            os.replace(tmp, path)
-        except Exception as exc:
-            print(f"mer cache {path}: not saved ({exc})", file=sys.stderr)
-    return table, table_dev
+
+def _persist_mer(path, table, key):
+    import os
+    import sys
+
+    try:
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, table=table, key=key)
+        os.replace(tmp, path)
+    except Exception as exc:
+        print(f"mer cache {path}: not saved ({exc})", file=sys.stderr)
 
 
 def seed_difficulty(mer_table, keys, valid, min_occ, lengths=None, m=None):

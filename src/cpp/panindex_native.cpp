@@ -221,6 +221,6 @@ void panindex_query_tags(
     }
 }
 
-int panindex_version() { return 1; }
+int panindex_version() { return 2; }  // 2: psi_walk window args (-> _v2 name)
 
 }  // extern "C"

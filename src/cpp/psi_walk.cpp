@@ -114,7 +114,13 @@ extern "C" {
 // distance flip. n_threads > 1 partitions lanes across OpenMP threads (the
 // lanes partition the rows, so no synchronization is needed); <= 0 uses the
 // OpenMP default.
-void panindex_psi_walk(
+//
+// _v2: the (sa_seq, sa_t, win_lo, win_hi) window arguments were APPENDED to
+// the original signature; renaming the entry point makes a stale
+// libpanindex_native.so fail loudly at symbol lookup instead of silently
+// ignoring the window and writing a full-[n] SA into (hi-lo)-sized buffers
+// (advisor r4 ABI finding). Python checks hasattr(lib, "..._v2").
+void panindex_psi_walk_v2(
     const int64_t* run_start,  // [r]
     const int64_t* psi_base,   // [r] C[sym]+cum[j][sym]
     const uint8_t* is_end,     // [r] run_sym == endmarker code

@@ -229,10 +229,11 @@ def test_get_mer_table_cache_roundtrip(tmp_path, ref_data):
 
     idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
     path = str(tmp_path / "seed.npz")
-    t1, dev1 = get_mer_table(idx, 5, path=path)
+    t1, dev1, m1 = get_mer_table(idx, 5, path=path)
+    assert m1 == 5
     np.testing.assert_array_equal(np.asarray(t1, np.int64),
                                   build_mer_table(idx, 5))
-    t2, dev2 = get_mer_table(idx, 5, path=path)
-    assert dev2 is None  # cache hit: no device build
+    t2, dev2, m2 = get_mer_table(idx, 5, path=path)
+    assert dev2 is None and m2 == 5  # cache hit: no device build
     np.testing.assert_array_equal(np.asarray(t2, np.int64),
                                   np.asarray(t1, np.int64))
