@@ -222,8 +222,43 @@ def merge_tags_streamed(gbz: GBZ, idx: RIndex, comp_tags: dict[int, TagArray],
     return TagArray.from_runs(np.concatenate(out_vals), np.concatenate(out_lens))
 
 
+def merge_tags_on_device(gbz: GBZ, idx: RIndex, comp_tags: dict[int, TagArray],
+                         mesh=None) -> TagArray:
+    """Device-mesh merge: identical output to `merge_tags`, computed by the
+    sharded all_gather scan step (parallel/merge.py) - rows sharded over
+    'data', one collective round, no sequential stream consumption. The
+    component routing (seq-of-row + per-sequence component) stays host-side;
+    the per-row global-rank + gather runs on the mesh. HBM-resident
+    deployment path (~16 B/row for comp + tag lanes); the bounded-memory host
+    path remains `merge_tags_streamed`."""
+    from ..parallel.merge import merge_tags_device
+    from ..parallel.sharding import make_mesh
+
+    if mesh is None:
+        import jax
+
+        mesh = make_mesh(len(jax.devices()), 1)
+    n, n_seq = idx.n, idx.n_seq
+    comp_of_node = node_components(gbz)
+    seq_comp = _seq_components(gbz, comp_of_node, n_seq)
+    comp_per_row = seq_comp[seq_of_rows(idx)].astype(np.int64)
+    comp_per_row[:n_seq] = -1  # endmarker rows -> tag 0 (merge_tags.cpp:620-624)
+    streams = {}
+    for c, t in comp_tags.items():
+        per_pos = np.repeat(t.pos_enc, t.run_lengths())
+        expect = int((comp_per_row == c).sum())
+        if expect != len(per_pos):
+            raise ValueError(
+                f"component {c}: {expect} rows but stream covers {len(per_pos)}")
+        streams[int(c)] = per_pos
+    tag_per_row = merge_tags_device(mesh, comp_per_row, streams)
+    vals, lens = rle(tag_per_row)
+    return TagArray.from_runs(vals, lens)
+
+
 def merge_tags_pipeline(gbz_path: str, ri_path: str, tags_dir: str, output: str,
-                        window: int = 1 << 22, chunk_runs: int = 1 << 20) -> int:
+                        window: int = 1 << 22, chunk_runs: int = 1 << 20,
+                        engine: str = "host") -> int:
     from ..formats import tags as tagfmt
     from ..formats import ri as rifmt
     from ..formats.gbz import load_gbz
@@ -244,9 +279,17 @@ def merge_tags_pipeline(gbz_path: str, ri_path: str, tags_dir: str, output: str,
         stream = TagRunStream(os.path.join(tags_dir, name), chunk_runs=chunk_runs)
         first_node = stream.peek_first_pos() >> 11
         comp = comp_of_node[first_node]
-        comp_tags[comp] = PositionCursor(stream)
+        if engine == "device":
+            # HBM-resident path: the sharded scan-merge consumes the whole
+            # run-level stream at once (no cursor protocol to honor)
+            comp_tags[comp] = tagfmt.load_tags_file(os.path.join(tags_dir, name))
+        else:
+            comp_tags[comp] = PositionCursor(stream)
         print(f"{name}: component {comp} ({stream.fmt} stream)", file=sys.stderr)
-    merged = merge_tags_streamed(gbz, idx, comp_tags, window=window)
+    if engine == "device":
+        merged = merge_tags_on_device(gbz, idx, comp_tags)
+    else:
+        merged = merge_tags_streamed(gbz, idx, comp_tags, window=window)
     with open(output, "wb") as fh:
         fh.write(tagfmt.write_compressed_sdsl(
             merged, width=11 + max(int(n) for n in gbz.graph.node_ids).bit_length()))

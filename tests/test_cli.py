@@ -182,6 +182,50 @@ def test_merge_tags_cli_accepts_all_formats(ref_data, tmp_path):
     a = (tmp_path / "merged_a.tags").read_bytes()
     m = (tmp_path / "merged_m.tags").read_bytes()
     assert a and a == m
+    # device engine (sharded all_gather scan-merge over an 8-virtual-device
+    # mesh, parallel/merge.py): byte-identical output (VERDICT r4 item 5)
+    run(["merge-tags", str(base / "xy.gbz"), "xy.ri", str(d_alg),
+         "merged_d.tags", "--engine", "device"], tmp_path,
+        env_extra={"XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    assert (tmp_path / "merged_d.tags").read_bytes() == a
+
+
+def test_query_tags_device_engine_matches_host(ref_data, tmp_path):
+    """query-tags --engine device batches BOTH halves (count + tag lookup)
+    on device; stdout equals the host engine exactly (VERDICT r4 item 6).
+    A tiny --tag-capacity forces the overflow -> host re-query path too."""
+    ref = ref_data / "bidirectional_test"
+    outs = {}
+    for name, extra in (("host", ["--engine", "host"]),
+                        ("device", ["--engine", "device"]),
+                        ("device_tiny", ["--engine", "device",
+                                         "--tag-capacity", "4"])):
+        o = run(["query-tags", str(ref / "xy.ri"),
+                 str(ref / "xy_bidirectional_compressed.tags"),
+                 str(ref / "test_reads.txt"), *extra], tmp_path)
+        outs[name] = o.stdout
+    assert outs["device"] == outs["host"]
+    assert outs["device_tiny"] == outs["host"]
+
+
+def test_find_mems_overflow_escalates_on_device(ref_data, tmp_path):
+    """--mem-capacity 2 makes most reads overflow; the escalation tiers must
+    recover them on the device (stderr says so) with stdout identical to the
+    host engine (VERDICT r4 item 3)."""
+    ref = ref_data / "bidirectional_test"
+    outs = {}
+    o_host = run(["find-mems", str(ref / "xy.ri"),
+                  str(ref / "xy_bidirectional_compressed.tags"),
+                  str(ref / "test_reads.txt"), "3", "1", "--engine", "host"],
+                 tmp_path)
+    o_dev = run(["find-mems", str(ref / "xy.ri"),
+                 str(ref / "xy_bidirectional_compressed.tags"),
+                 str(ref / "test_reads.txt"), "3", "1", "--engine", "device",
+                 "--mem-capacity", "2", "--mer-len", "0"], tmp_path)
+    assert b"escalated" in o_dev.stderr
+    assert b"host refind" not in o_dev.stderr
+    strip = lambda b: b"\n".join(l for l in b.splitlines() if b"seconds" not in l)
+    assert strip(o_dev.stdout) == strip(o_host.stdout)
 
 
 def test_facade_api(ref_data):
