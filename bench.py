@@ -81,10 +81,19 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                   mer_cache_dir=None, ckpt_block=64, cache_only=False,
                   prefer_build=False, persist=True, pair_rank=None,
                   mem_only=False, on_provisional=None,
+                  tag_tables=None, tag_capacity=32, on_mem_result=None,
                   log=lambda s: print(s, file=sys.stderr)):
     """Full device serving measurement on one chip: checkpoint-rank tables,
     on-device m-mer seed table, work-sorted chunking. Returns a dict with
-    reads/s, LF-steps/s, and the per-read MEM counts (for cross-checks)."""
+    reads/s, LF-steps/s, and the per-read MEM counts (for cross-checks).
+
+    tag_tables (a host TagArray): additionally measure the COMBINED loop -
+    MEM finding + per-buffered-MEM tag lookups (the reference's full
+    find_mems serving path, find_mems.cpp:96-146) - reported as tags_rps
+    with per-MEM unique counts (tag_nu/tag_ov) for cross-checks.
+    on_mem_result(device_rps, mer_m) fires the moment the MEM-only number
+    lands, BEFORE tag work, so the driver-critical line never waits on the
+    tag-query compile."""
     import jax
     import jax.numpy as jnp
 
@@ -275,6 +284,64 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
     device_rps = n_reads / dt
     log(f"[bench] device: {dt*1e3:.1f} ms/batch -> {device_rps:.0f} reads/s")
 
+    if on_mem_result is not None:
+        try:
+            on_mem_result(device_rps, mer_m)
+        except Exception:
+            pass
+
+    # combined loop: MEM finding + tag lookups for every buffered MEM
+    # (opportunistic: a tag-measurement failure never costs the MEM number)
+    tags_rps = tag_nu = tag_ov = None
+    tag_ov_frac = 0.0
+    if tag_tables is not None:
+        try:
+            from pangenome_index_tpu.ops.tables import tags_to_device
+            from pangenome_index_tpu.ops.tagquery import query_mem_tags
+
+            tt = jax.device_put(tags_to_device(tag_tables), dev)
+
+            def run_all_tags():
+                pend = []
+                for s in range(0, n_reads, chunk):
+                    kw = {k: (v[s : s + chunk]
+                              if k in ("mer_keys", "mer_valid") else v)
+                          for k, v in mer_kw.items()}
+                    res = find_mems_batch(
+                        t, codes_d[s : s + chunk], lens_d[s : s + chunk],
+                        min_len, min_occ, capacity=MEM_CAP,
+                        pair_rank=pair_rank, **kw)
+                    pend.append((res.count,
+                                 *query_mem_tags(tt, res.bwt_start, res.size,
+                                                 res.count,
+                                                 capacity=tag_capacity)))
+                cs = np.concatenate([np.asarray(c) for c, _, _ in pend])
+                nus = np.concatenate([np.asarray(v) for _, v, _ in pend])
+                ovs = np.concatenate([np.asarray(o) for _, _, o in pend])
+                oc = np.empty_like(cs)
+                onu = np.empty_like(nus)
+                oov = np.empty_like(ovs)
+                oc[order], onu[order], oov[order] = cs, nus, ovs
+                return oc, onu, oov
+
+            t0 = time.perf_counter()
+            cs, tag_nu, tag_ov = run_all_tags()
+            log(f"[bench] tag-query compile+first: {time.perf_counter()-t0:.1f}s")
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                cs, tag_nu, tag_ov = run_all_tags()
+            dt = (time.perf_counter() - t0) / iters
+            tags_rps = n_reads / dt
+            n_buffered = int(np.minimum(cs, MEM_CAP).sum())
+            tag_ov_frac = float(tag_ov.sum() / max(n_buffered, 1))
+            log(f"[bench] mem+tags: {dt*1e3:.1f} ms/batch -> "
+                f"{tags_rps:.0f} reads/s "
+                f"({n_buffered} tag queries, overflow {tag_ov_frac:.2%})")
+        except Exception as exc:
+            log(f"[bench] tag measurement failed ({type(exc).__name__}: "
+                f"{str(exc)[:300]}); MEM-only result stands")
+            tags_rps = tag_nu = tag_ov = None
+
     ext_rate = 0.0
     if measure_ext:
         ext_rate = measure_ext_rate(t, idx.n)
@@ -282,7 +349,8 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
             f"(each = 2 six-symbol rank queries)")
     return dict(device_rps=device_rps, ext_rate=ext_rate, counts=all_counts,
                 total_mems=total_mems, mer_m=mer_m, mer_setup_s=mer_setup_s,
-                tables=t)
+                tables=t, tags_rps=tags_rps, tag_nu=tag_nu, tag_ov=tag_ov,
+                tag_ov_frac=tag_ov_frac)
 
 
 def measure_ext_rate(t, n, lanes=4096):
@@ -321,10 +389,15 @@ def measure_ext_rate(t, n, lanes=4096):
 
 
 def native_baseline(idx, codes, lens, counts=None, n_threads=1, nb=256,
-                    min_len=MIN_LEN, min_occ=MIN_OCC,
+                    min_len=MIN_LEN, min_occ=MIN_OCC, tags=None, tag_dev=None,
                     log=lambda s: print(s, file=sys.stderr)):
     """Native C++ engine baseline on a read subset; cross-checks MEM counts
-    against the device result when provided. Returns reads/s."""
+    against the device result when provided. Returns reads/s; with `tags` (a
+    host TagArray) the baseline also runs the tag half over every buffered
+    MEM - the same both-halves loop the device combined measurement runs
+    (find_mems.cpp:96-146) - and returns (mem_rps, combined_rps). tag_dev =
+    (tag_nu, tag_ov) from serve_measure cross-checks per-MEM unique counts
+    between the engines."""
     from pangenome_index_tpu import native
 
     nb = min(len(codes), nb)
@@ -338,7 +411,30 @@ def native_baseline(idx, codes, lens, counts=None, n_threads=1, nb=256,
         f"({int(cnt.sum())} MEMs on subset)")
     if counts is not None and not np.array_equal(cnt, counts[:nb]):
         log("[bench] WARNING: native/device MEM count mismatch")
-    return host_rps
+    if tags is None:
+        return host_rps
+    # tag half: one query per buffered MEM, flattened (find_mems.cpp:129)
+    eff = np.minimum(cnt, s.shape[1]).astype(np.int64)
+    ii = np.repeat(np.arange(nb), eff)
+    within = np.arange(len(ii)) - np.repeat(np.cumsum(eff) - eff, eff)
+    t0 = time.perf_counter()
+    qs = b[ii, within]
+    qe = qs + z[ii, within] - 1
+    tpos, tuniq, truns = native.query_tags_native(
+        tags, qs, qe, capacity=256, n_threads=n_threads)
+    tag_dt = time.perf_counter() - t0
+    comb_rps = nb / (host_dt + tag_dt)
+    log(f"[bench] native {n_threads}-thread mem+tags: {comb_rps:.1f} reads/s "
+        f"({len(ii)} tag queries, tag half {tag_dt:.2f}s)")
+    if tag_dev is not None:
+        nu_d, ov_d = tag_dev
+        ok = ~ov_d[ii, within]  # device counts are capacity-partial on overflow
+        if not np.array_equal(tuniq[ok], nu_d[ii, within][ok]):
+            log("[bench] WARNING: native/device tag unique-count mismatch")
+        else:
+            log(f"[bench] tag unique counts cross-checked on "
+                f"{int(ok.sum())} MEMs: identical")
+    return host_rps, comb_rps
 
 
 def main():
@@ -369,6 +465,21 @@ def main():
     reads = synth_reads(lines, N_READS, READ_LEN, error_rate=0.01, seed=1)
     codes, lens = encode_reads(reads, N_READS, READ_LEN)
 
+    # synthetic tag array (cached): puts the reference's SECOND serving half
+    # (per-MEM tag lookups, find_mems.cpp:129) into the measured loop; a
+    # failure here degrades to the round-4 MEM-only bench, never blocks it
+    tags = None
+    try:
+        from pangenome_index_tpu.utils.synth import synth_tag_array
+
+        t0 = time.perf_counter()
+        tags = synth_tag_array(idx, lines=lines, cache_dir=cache)
+        print(f"[bench] tag array: {tags.n_runs} runs "
+              f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
+    except Exception as exc:
+        print(f"[bench] synth tag array failed ({type(exc).__name__}: {exc}); "
+              f"MEM-only bench", file=sys.stderr)
+
     # progressive-result protocol (round-4 fix for the round-3 CPU fallback):
     # measure at m=12 FIRST (201 MB table, proven in-budget in BENCH_r02) and
     # print a complete JSON line as soon as that lands; then opportunistically
@@ -379,8 +490,9 @@ def main():
     # no longer cost the round its TPU number.
     deadline = float(os.environ.get("PANIDX_BENCH_DEADLINE", "0"))
 
-    def emit(device_rps, host1, host2, mer_m, suffix=""):
-        print(json.dumps({
+    def emit(device_rps, host1, host2, mer_m, suffix="", tags_rps=None,
+             host_comb=None, tag_ov_frac=None):
+        rec = {
             "metric": "mem_find_reads_per_s",
             "value": round(device_rps, 1),
             "unit": f"reads/s (150bp, minlen20, {idx.n // 1_000_000}Mbp synthetic pangenome){suffix}",
@@ -388,6 +500,33 @@ def main():
             "vs_baseline_meaning": "1 chip vs 1 native-engine CPU core (src/cpp, same algorithm+data)",
             "vs_baseline_2core": round(device_rps / host2, 2) if host2 else None,
             "vs_baseline_32core_ideal": round(device_rps / (32 * host1), 2),
+            "seed_m": mer_m,
+        }
+        if tags_rps:
+            # the same batch served through BOTH halves (MEM finding + one
+            # tag lookup per buffered MEM, find_mems.cpp:96-146)
+            rec["with_tags_reads_per_s"] = round(tags_rps, 1)
+            if host_comb:
+                rec["with_tags_vs_baseline"] = round(tags_rps / host_comb, 2)
+                rec["with_tags_vs_32core_ideal"] = round(
+                    tags_rps / (32 * host_comb), 2)
+            rec["tag_overflow_frac"] = round(tag_ov_frac or 0.0, 4)
+        print(json.dumps(rec), flush=True)
+
+    def emit_tags(tags_rps, mem_rps, host_comb, mer_m):
+        print(json.dumps({
+            "metric": "mem_find_and_tags_reads_per_s",
+            "value": round(tags_rps, 1),
+            "unit": (f"reads/s through BOTH serving halves (MEM finding + "
+                     f"per-buffered-MEM tag lookup, find_mems.cpp:96-146; "
+                     f"150bp, minlen20, {idx.n // 1_000_000}Mbp synthetic "
+                     f"pangenome + synthetic tag array)"),
+            "vs_baseline": round(tags_rps / host_comb, 2) if host_comb else None,
+            "vs_baseline_meaning": ("1 chip vs 1 native-engine CPU core "
+                                    "running the same both-halves loop"),
+            "vs_baseline_32core_ideal": round(
+                tags_rps / (32 * host_comb), 2) if host_comb else None,
+            "mem_only_reads_per_s": round(mem_rps, 1),
             "seed_m": mer_m,
         }), flush=True)
 
@@ -401,8 +540,13 @@ def main():
     # chromosome with OpenMP); 2 threads = every core this host has, for an
     # honest multi-core point.
     host2 = 0.0
+    host_comb1 = 0.0
     if native.available():
-        host_rps = native_baseline(idx, codes, lens, n_threads=1)
+        if tags is not None:
+            host_rps, host_comb1 = native_baseline(idx, codes, lens,
+                                                   n_threads=1, tags=tags)
+        else:
+            host_rps = native_baseline(idx, codes, lens, n_threads=1)
         host2 = native_baseline(idx, codes, lens, n_threads=2)
     else:
         t0 = time.perf_counter()
@@ -430,22 +574,36 @@ def main():
     # persist=True: only fires when the table was built AND no cache exists,
     # so later attempts / the cpu-fallback find a warm cache (the ~400 MB
     # d2h fetch at m=12 happens once per index, not per run)
+    # on_mem_result fires the phase-1 JSON line the moment the MEM-only
+    # number lands - BEFORE the tag-query compile, so the driver-critical
+    # line never waits on the round-5 combined measurement
     m = serve_measure(idx, codes, lens, chunk=None, mer_m=mer_first,
                       mer_cache_dir=cache, prefer_build=prefer_build,
-                      persist=True, measure_ext=False,
+                      persist=True, measure_ext=False, tag_tables=tags,
+                      on_mem_result=lambda rps, mm: emit(rps, host_rps,
+                                                         host2, mm),
                       on_provisional=lambda rps: emit(
                           rps, host_rps, host2, mer_first,
                           suffix=" [warm-subset provisional]"))
     device_rps = m["device_rps"]
-    emit(device_rps, host_rps, host2, m["mer_m"])
+    if m.get("tags_rps"):
+        emit_tags(m["tags_rps"], device_rps, host_comb1, m["mer_m"])
+    # the LAST complete line carries both metrics (with_tags_* fields) so a
+    # single BENCH record self-describes the full serving path
+    emit(device_rps, host_rps, host2, m["mer_m"], tags_rps=m.get("tags_rps"),
+         host_comb=host_comb1, tag_ov_frac=m.get("tag_ov_frac"))
 
     # everything past the first emitted line is opportunistic: a failure here
     # must never cost the phase-1 result (the orchestrator now also harvests
     # stdout from rc!=0 exits, but exiting 0 keeps the contract explicit)
     try:
         if native.available():
-            # cross-check device vs native MEM counts now that both exist
-            native_baseline(idx, codes, lens, m["counts"], n_threads=1)
+            # cross-check device vs native MEM counts AND per-MEM tag unique
+            # counts now that both exist
+            native_baseline(idx, codes, lens, m["counts"], n_threads=1,
+                            tags=tags,
+                            tag_dev=(None if m.get("tag_nu") is None
+                                     else (m["tag_nu"], m["tag_ov"])))
         ext = measure_ext_rate(m["tables"], idx.n)
         print(f"[bench] LF/extension steps: {ext/1e6:.1f} M/s "
               f"(each = 2 six-symbol rank queries)", file=sys.stderr)
@@ -462,9 +620,15 @@ def main():
                   f"budget {budget:.0f}s", file=sys.stderr)
             m14 = serve_measure(idx, codes, lens, chunk=None, mer_m=14,
                                 mer_cache_dir=cache, prefer_build=True,
-                                persist=False, measure_ext=False)
+                                persist=False, measure_ext=False,
+                                tag_tables=tags)
             if m14["mer_m"] == 14 and m14["device_rps"] > device_rps:
-                emit(m14["device_rps"], host_rps, host2, 14)
+                if m14.get("tags_rps"):
+                    emit_tags(m14["tags_rps"], m14["device_rps"],
+                              host_comb1, 14)
+                emit(m14["device_rps"], host_rps, host2, 14,
+                     tags_rps=m14.get("tags_rps"), host_comb=host_comb1,
+                     tag_ov_frac=m14.get("tag_ov_frac"))
         else:
             print(f"[bench] m=14 upgrade skipped: {remaining:.0f}s left < "
                   f"budget {budget:.0f}s (or cpu backend)", file=sys.stderr)

@@ -304,7 +304,8 @@ def seed_difficulty(mer_table, keys, valid, min_occ, lengths=None, m=None):
 def read_mer_keys(codes: np.ndarray, lengths: np.ndarray, m: int):
     """Per-position rolling m-mer keys for a read batch.
 
-    codes: [B, L] alphabet codes. Returns (keys [B, L+1] int32,
+    codes: [B, L] alphabet codes. Returns (keys [B, L+1] int32 - int64 when
+    2m > 31 bits, i.e. m > 15 (the long-seed dictionary windows) -
     valid [B, L+1] bool) where entry i describes the window codes[i-m+1 .. i];
     valid requires the window to be ACGT-only and fully inside the read.
     """
@@ -321,4 +322,4 @@ def read_mer_keys(codes: np.ndarray, lengths: np.ndarray, m: int):
         keys[:, m - 1 : L] = kv
         inside = (np.arange(m - 1, L)[None, :] < lengths[:, None])
         valid[:, m - 1 : L] = okw & inside
-    return keys.astype(np.int32), valid
+    return keys.astype(np.int32 if m <= 15 else np.int64), valid

@@ -65,3 +65,26 @@ def query_tags_batch(tt: TagTables, start: jax.Array, end: jax.Array,
     kept_sorted = jnp.take_along_axis(keep, order, axis=1)
     out = jnp.where(kept_sorted, compacted, -1)
     return TagQueryResult(out, n_unique, run_nums, overflow)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def query_mem_tags(tt: TagTables, bwt_start: jax.Array, size: jax.Array,
+                   count: jax.Array, capacity: int = 32):
+    """Tag lookups for every buffered MEM of a find_mems batch - the second
+    half of the reference serving path (per-MEM query_compressed_compact +
+    total_tag_time, src/find_mems.cpp:129, 144-145), batched over all
+    (read, MEM) slots at once.
+
+    bwt_start/size: [B, M] MemResult buffers; count: [B]. Returns
+    (n_unique [B, M] int32 with invalid slots zeroed,
+     overflow [B, M] bool - lanes whose run span exceeded `capacity`)."""
+    B, M = bwt_start.shape
+    valid = jnp.arange(M, dtype=jnp.int32)[None, :] \
+        < jnp.minimum(count, M).astype(jnp.int32)[:, None]
+    s = jnp.where(valid, bwt_start, 0).reshape(B * M)
+    e = jnp.where(valid, bwt_start + size - 1, 0).reshape(B * M)
+    tq = query_tags_batch(tt, s.astype(tt.bwt_start.dtype),
+                          e.astype(tt.bwt_start.dtype), capacity=capacity)
+    nu = jnp.where(valid, tq.n_unique.reshape(B, M), 0)
+    ov = tq.overflow.reshape(B, M) & valid
+    return nu, ov

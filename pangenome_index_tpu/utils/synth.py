@@ -150,6 +150,55 @@ def synth_reads(lines: list[bytes], n_reads: int, read_len: int,
     return reads
 
 
+def synth_tag_array(idx: RIndex, lines: list[bytes] | None = None,
+                    node_len: int = 512, cache_dir: str | None = None):
+    """Synthetic tag array over the index's BWT rows, for tag-query serving
+    benchmarks (the reference's find_mems path queries tags per MEM,
+    src/find_mems.cpp:129; a synthetic INDEX alone only exercises the MEM
+    half). Every row's text position maps to a backbone "node" shared across
+    haplotypes (node = offset // node_len + 1 - synth_haplotypes mutates
+    copies in place, so coordinates are shared exactly like bubble-free
+    backbone nodes), packed with the compact encoding; endmarker rows get
+    tag 0 (merge_tags.cpp:620-624). Runs therefore compress with haplotype
+    depth, giving the tag tables the run structure real pangenome tags have.
+
+    Per-row positions come from the native O(r)-memory psi walk
+    (core/tagbuild.PsiSAWindows); `lines` enables the oracle fallback when
+    the native engine is unavailable. Cached under cache_dir keyed by the
+    index content (same scheme as the seed-table cache)."""
+    import pathlib as _pl
+
+    from ..core.tagbuild import rle
+    from ..models.tagarray import TagArray
+
+    cache = None
+    if cache_dir is not None:
+        from ..ops.mertable import mer_table_key
+
+        key = mer_table_key(idx, -node_len)  # content key; -node_len != any m
+        cache = _pl.Path(cache_dir) / f"synthtags_{key}.npz"
+        if cache.exists():
+            with np.load(cache, allow_pickle=False) as z:
+                return TagArray.from_runs(z["pos_enc"], z["lengths"])
+    try:
+        from ..core.tagbuild import PsiSAWindows
+
+        sa_seq, sa_pos = PsiSAWindows(idx).window(0, idx.n)
+    except Exception:
+        if lines is None:
+            raise
+        o = oracle_from_lines(lines)
+        sa_seq, sa_pos = o.da, o.sa_pos
+    enc = ((sa_pos.astype(np.int64) // node_len + 1) << 11) \
+        | (sa_pos.astype(np.int64) % node_len)
+    enc[: idx.n_seq] = 0
+    vals, lens = rle(enc)
+    if cache is not None:
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(cache, pos_enc=vals, lengths=lens)
+    return TagArray.from_runs(vals, lens)
+
+
 def build_synth_index(base_len: int, n_haps: int, snp_rate: float = 0.002,
                       seed: int = 0, cache_dir: str | None = None) -> tuple[RIndex, list[bytes]]:
     """Build (and cache) an r-index over a synthetic pangenome."""
