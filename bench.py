@@ -51,6 +51,8 @@ CHUNK = 4096
 # panindex_native.cpp:126-129), and overflow is flagged for refind - so 8 is
 # the shipped bounded-capacity serving contract (PERF.md round 3)
 MEM_CAP = 8
+#: engine kwargs sliced per read chunk (everything else is whole-table)
+PER_READ_KEYS = ("mer_keys", "mer_valid", "sdict_idx")
 
 
 def setup_compilation_cache():
@@ -82,6 +84,7 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                   prefer_build=False, persist=True, pair_rank=None,
                   mem_only=False, on_provisional=None,
                   tag_tables=None, tag_capacity=32, on_mem_result=None,
+                  sdict=None,
                   log=lambda s: print(s, file=sys.stderr)):
     """Full device serving measurement on one chip: checkpoint-rank tables,
     on-device m-mer seed table, work-sorted chunking. Returns a dict with
@@ -93,7 +96,11 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
     with per-MEM unique counts (tag_nu/tag_ov) for cross-checks.
     on_mem_result(device_rps, mer_m) fires the moment the MEM-only number
     lands, BEFORE tag work, so the driver-critical line never waits on the
-    tag-query compile."""
+    tag-query compile.
+    sdict = (keys, vals, s): the sparse long-seed dictionary tier
+    (ops/sparsedict.py) cascaded over the dense table; window lookups run
+    host-side once per batch (np.searchsorted), the same treatment as
+    read_mer_keys."""
     import jax
     import jax.numpy as jnp
 
@@ -216,13 +223,25 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
     else:
         order = np.arange(n_reads)  # unseeded: no difficulty proxy to sort by
         mer_kw = {}
+    if sdict is not None:
+        from pangenome_index_tpu.ops.sparsedict import lookup_read_windows
+
+        keys_sd, vals_sd, s_sd = sdict
+        rk, rv = read_mer_keys(codes, lens, s_sd)
+        di = lookup_read_windows(keys_sd, rk, rv)
+        hit_frac = (di >= 0).sum() / max(rv.sum(), 1)
+        log(f"[bench] long-seed dict s={s_sd}: {len(keys_sd)} entries, "
+            f"window hit rate {hit_frac:.1%}")
+        mer_kw.update(sdict_vals=jax.device_put(jnp.asarray(vals_sd), dev),
+                      sdict_idx=jax.device_put(jnp.asarray(di[order]), dev),
+                      sdict_m=s_sd)
     codes_d = jax.device_put(jnp.asarray(codes[order]), dev)
     lens_d = jax.device_put(jnp.asarray(lens[order]), dev)
 
     def run_all():
         pending = []
         for s in range(0, n_reads, chunk):
-            kw = {k: (v[s : s + chunk] if k in ("mer_keys", "mer_valid") else v)
+            kw = {k: (v[s : s + chunk] if k in PER_READ_KEYS else v)
                   for k, v in mer_kw.items()}
             pending.append(find_mems_batch(
                 t, codes_d[s : s + chunk], lens_d[s : s + chunk],
@@ -244,7 +263,7 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
         best, best_dt = None, None
         for cand in (4096, 8192):
             sub = min(cand, n_reads)
-            kw = {k: (v[:sub] if k in ("mer_keys", "mer_valid") else v)
+            kw = {k: (v[:sub] if k in PER_READ_KEYS else v)
                   for k, v in mer_kw.items()}
             np.asarray(find_mems_batch(t, codes_d[:sub], lens_d[:sub], min_len,
                                        min_occ, capacity=MEM_CAP,
@@ -305,7 +324,7 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                 pend = []
                 for s in range(0, n_reads, chunk):
                     kw = {k: (v[s : s + chunk]
-                              if k in ("mer_keys", "mer_valid") else v)
+                              if k in PER_READ_KEYS else v)
                           for k, v in mer_kw.items()}
                     res = find_mems_batch(
                         t, codes_d[s : s + chunk], lens_d[s : s + chunk],

@@ -42,6 +42,17 @@ def _pack_reads(reads: list[bytes]):
     return codes, lens
 
 
+def _resolve_long_seed(arg: int, min_len: int, mer_m: int) -> int:
+    """Sparse long-seed dictionary window (ops/sparsedict.py). -1 = auto:
+    min_len - 1 (step 1 of every MEM call becomes ONE stepwise extension),
+    capped at 31 (int64 2-bit keys); off when it would not beat the dense
+    tier or min_len is tiny. 0 disables."""
+    if arg == 0:
+        return 0
+    s = min(min_len - 1, 31) if arg == -1 else arg
+    return s if s > max(mer_m, 3) else 0
+
+
 def _resolve_mer_len(arg: int, min_len: int, n: int) -> int:
     """Seed-table size. -1 = auto: the measured serving optimum is the
     largest table that fits comfortably (PERF.md round 3: m=14 gives +25%
@@ -297,6 +308,22 @@ def cmd_find_mems(args) -> int:
             mk, mv = read_mer_keys(codes, lens, mer_m)
             mer_kw = dict(mer_table=mt, mer_keys=jnp.asarray(mk),
                           mer_valid=jnp.asarray(mv), mer_m=mer_m)
+        s_long = _resolve_long_seed(getattr(args, "long_seed", 0),
+                                    args.min_len, mer_m)
+        di = None
+        if s_long:
+            # sparse long-seed tier: one host searchsorted per read window,
+            # then step-1 entries collapse to ONE stepwise extension
+            # (ops/sparsedict.py; cached next to the index like the table)
+            from .ops.mertable import read_mer_keys as _rmk
+            from .ops.sparsedict import get_sparse_dict, lookup_read_windows
+
+            sd_path = (None if args.no_mer_cache
+                       else f"{args.ri}.sdict{s_long}.npz")
+            sd_keys, sd_vals = get_sparse_dict(idx, s_long, path=sd_path)
+            di = lookup_read_windows(sd_keys, *_rmk(codes, lens, s_long))
+            mer_kw.update(sdict_vals=jnp.asarray(sd_vals),
+                          sdict_idx=jnp.asarray(di), sdict_m=s_long)
         tm = time.perf_counter()
         B = args.batch_size
         if B == 0 and len(reads) > 4096:
@@ -305,7 +332,7 @@ def cmd_find_mems(args) -> int:
             best, best_dt = None, None
             for cand in (4096, 8192):
                 sub = min(cand, len(reads))
-                kw = {k: (v[:sub] if k in ("mer_keys", "mer_valid") else v)
+                kw = {k: (v[:sub] if k in ("mer_keys", "mer_valid", "sdict_idx") else v)
                       for k, v in mer_kw.items()}
                 args_bc = (t, jnp.asarray(codes[:sub]), jnp.asarray(lens[:sub]),
                            args.min_len, args.min_occ)
@@ -326,7 +353,7 @@ def cmd_find_mems(args) -> int:
         # work-homogeneous; results are inverse-permuted back below
         codes0, lens0 = codes, lens  # input order (overflow re-dispatch)
         order = np.arange(len(reads))
-        if mer_kw and len(reads) > B:
+        if mer_kw.get("mer_table") is not None and len(reads) > B:
             from .ops.mertable import seed_difficulty
 
             proxy = seed_difficulty(mt_np, mk, mv, args.min_occ,
@@ -335,9 +362,11 @@ def cmd_find_mems(args) -> int:
             codes, lens = codes[order], lens[order]
             mer_kw["mer_keys"] = jnp.asarray(mk[order])
             mer_kw["mer_valid"] = jnp.asarray(mv[order])
+            if di is not None:
+                mer_kw["sdict_idx"] = jnp.asarray(di[order])
         pending = []
         for s0 in range(0, len(reads), B):
-            kw = {k: (v[s0 : s0 + B] if k in ("mer_keys", "mer_valid") else v)
+            kw = {k: (v[s0 : s0 + B] if k in ("mer_keys", "mer_valid", "sdict_idx") else v)
                   for k, v in mer_kw.items()}
             pending.append(find_mems_batch(
                 t, jnp.asarray(codes[s0 : s0 + B]), jnp.asarray(lens[s0 : s0 + B]),
@@ -365,9 +394,12 @@ def cmd_find_mems(args) -> int:
             if not len(sel):
                 continue
             kw = {}
-            if mer_kw:
+            if mer_kw.get("mer_table") is not None:
                 kw = dict(mer_table=mt, mer_keys=jnp.asarray(mk[sel]),
                           mer_valid=jnp.asarray(mv[sel]), mer_m=mer_m)
+            if di is not None:
+                kw.update(sdict_vals=mer_kw["sdict_vals"],
+                          sdict_idx=jnp.asarray(di[sel]), sdict_m=s_long)
             r2 = find_mems_batch(t, jnp.asarray(codes0[sel]),
                                  jnp.asarray(lens0[sel]), args.min_len,
                                  args.min_occ, capacity=tier, **kw)
@@ -695,6 +727,13 @@ def main(argv=None) -> int:
                            help="m-mer seed table size; -1 = auto "
                                 "(min(14, min_len-1), the measured serving "
                                 "optimum - PERF.md round 3), 0 disables")
+            q.add_argument("--long-seed", type=int, default=0,
+                           help="sparse long-seed dictionary window size "
+                                "(ops/sparsedict.py): -1 = auto "
+                                "(min(min_len-1, 31)), 0 = off. Collapses "
+                                "step-1 of every MEM call to one stepwise "
+                                "extension when the window occurs; built "
+                                "once and cached next to the index")
             q.add_argument("--no-mer-cache", action="store_true",
                            help="do not persist the seed table next to the index")
             q.add_argument("--batch-size", type=int, default=0,

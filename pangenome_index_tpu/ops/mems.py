@@ -44,7 +44,9 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
                    min_len, min_occ, capacity: int = 32, rank6_fn=None,
                    mer_table=None, mer_keys=None, mer_valid=None,
                    mer_m: int = 0, with_stats: bool = False,
-                   cond_every: int = 8, pair_rank: bool | None = None) -> MemResult:
+                   cond_every: int = 8, pair_rank: bool | None = None,
+                   sdict_vals=None, sdict_idx=None,
+                   sdict_m: int = 0) -> MemResult:
     """codes: [B, L] int32 (0-padded), lengths: [B]. Returns MemResult.
 
     The pad column j == length reads code 0 - the reference's std::string NUL
@@ -55,6 +57,15 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
     collective-based provider every device must run the same iteration count -
     the while condition only depends on replicated lane state, which holds
     when codes/lengths are identical across the model axis.
+
+    sdict_vals/sdict_idx/sdict_m add the sparse long-seed dictionary tier
+    (ops/sparsedict.py): sdict_idx[b, i] is the dictionary row of the
+    length-sdict_m window ending at i (-1 = absent), sdict_vals[d] its
+    (k, kp, s) bi-interval. Per position the LONGEST tier whose interval
+    passes min_occ wins (long seed -> dense mer_table row -> stepwise);
+    seed lengths become per-position, so one dictionary hit replaces
+    sdict_m - mer_m dependent extension steps at step-1/step-3 entries.
+    Without a dictionary the compiled program is unchanged.
 
     with_stats=True additionally returns {"steps": total active-lane
     extensions executed, "iters": loop iterations} - the in-serving step
@@ -77,12 +88,32 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
     # the loop: seed_*[b, i] = (k, kp, s) of the m-mer window ending at i,
     # with s = 0 for invalid windows. Inside the loop a seed is then a single
     # per-lane row lookup instead of 4 (keys, valid, table row x2).
-    seed_k = seed_kp = seed_s = None
+    seed_k = seed_kp = seed_s = seed_len = None
     if mer_table is not None:
         rows = mer_table[mer_keys.reshape(-1)].reshape(B, L + 1, 3)
         ok = mer_valid & (rows[..., 2] > 0)
         rows = jnp.where(ok[..., None], rows, 0).astype(pd)
         seed_k, seed_kp, seed_s = rows[..., 0], rows[..., 1], rows[..., 2]
+    if sdict_vals is not None:
+        # long-seed tier: one [B*(L+1)]-row gather into the sparse dictionary
+        # (the dense-tier gather above is the same shape), then a
+        # longest-tier-first merge. Selection against min_occ happens HERE,
+        # outside the loop - min_occ is a traced scalar, so no extra in-loop
+        # reads beyond the int8 seed_len table.
+        if seed_k is None:
+            zf = jnp.zeros((B, L + 1), pd)
+            seed_k = seed_kp = seed_s = zf
+        # dense-tier rows were zeroed when invalid, so seed_s > 0 marks them
+        seed_len = jnp.where(seed_s > 0, jnp.int8(mer_m), jnp.int8(0))
+        D = sdict_vals.shape[0]
+        lrows = sdict_vals[jnp.clip(sdict_idx, 0, D - 1).reshape(-1)] \
+            .reshape(B, L + 1, 3).astype(pd)
+        ls = lrows[..., 2]
+        use = (sdict_idx >= 0) & (ls >= jnp.maximum(min_occ, 1)) & (ls > 0)
+        seed_k = jnp.where(use, lrows[..., 0], seed_k)
+        seed_kp = jnp.where(use, lrows[..., 1], seed_kp)
+        seed_s = jnp.where(use, ls, seed_s)
+        seed_len = jnp.where(use, jnp.int8(sdict_m), seed_len)
 
     # Per-lane lookups into the [B, L+1] read-local tables (codes, seeds) are
     # one-hot select-sums, not gathers: the loop is bound by gather/scatter
@@ -149,13 +180,23 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
             widx = jnp.where(enter1, x + min_len - 1, j)
             oh_w = iotaL == jnp.clip(widx, 0, L).astype(jnp.int32)[:, None]
             row_s = jnp.where(oh_w, seed_s, 0).sum(axis=1)
-            can1 = (enter1 & (min_len > mer_m)
-                    & (row_s >= min_occ) & (row_s > 0))
-            can3 = (enter3 & (j - mer_m > x)
-                    & (row_s >= min_occ) & (row_s > 0))
+            if seed_len is None:
+                # dense tier only: static seed length (the round-4 program)
+                can1 = (enter1 & (min_len > mer_m)
+                        & (row_s >= min_occ) & (row_s > 0))
+                can3 = (enter3 & (j - mer_m > x)
+                        & (row_s >= min_occ) & (row_s > 0))
+                j_seed1, j_seed3 = x + min_len - 1 - mer_m, j - mer_m
+            else:
+                # cascaded tiers: per-position seed length (one extra int8
+                # one-hot read per iteration - see ops/sparsedict.py)
+                row_len = jnp.where(oh_w, seed_len, 0).sum(axis=1).astype(pd)
+                okrow = (row_s >= min_occ) & (row_s > 0) & (row_len > 0)
+                can1 = enter1 & (min_len > row_len) & okrow
+                can3 = enter3 & (j - row_len > x) & okrow
+                j_seed1, j_seed3 = x + min_len - 1 - row_len, j - row_len
             can = can1 | can3
-            j = jnp.where(can1, x + min_len - 1 - mer_m,
-                          jnp.where(can3, j - mer_m, j))
+            j = jnp.where(can1, j_seed1, jnp.where(can3, j_seed3, j))
             k = jnp.where(can, jnp.where(oh_w, seed_k, 0).sum(axis=1), k)
             kp = jnp.where(can, jnp.where(oh_w, seed_kp, 0).sum(axis=1), kp)
             s = jnp.where(can, row_s, s)
@@ -263,4 +304,5 @@ def find_mems_impl(t: RIndexTables, codes: jax.Array, lengths: jax.Array,
 
 find_mems_batch = functools.partial(
     jax.jit, static_argnames=("capacity", "mer_m", "with_stats",
-                              "cond_every", "pair_rank"))(find_mems_impl)
+                              "cond_every", "pair_rank",
+                              "sdict_m"))(find_mems_impl)

@@ -208,6 +208,22 @@ def test_query_tags_device_engine_matches_host(ref_data, tmp_path):
     assert outs["device_tiny"] == outs["host"]
 
 
+def test_find_mems_long_seed_matches_host(ref_data, tmp_path):
+    """--long-seed -1 (sparse dictionary tier) must leave stdout identical
+    to the host engine - seeds only skip guaranteed-pass extensions."""
+    ref = ref_data / "bidirectional_test"
+    outs = {}
+    for name, extra in (("host", ["--engine", "host"]),
+                        ("long", ["--engine", "device", "--mer-len", "4",
+                                  "--long-seed", "-1", "--no-mer-cache"])):
+        o = run(["find-mems", str(ref / "xy.ri"),
+                 str(ref / "xy_bidirectional_compressed.tags"),
+                 str(ref / "test_reads.txt"), "12", "1", *extra], tmp_path)
+        outs[name] = b"\n".join(l for l in o.stdout.splitlines()
+                                if b"seconds" not in l)
+    assert outs["long"] == outs["host"]
+
+
 def test_find_mems_overflow_escalates_on_device(ref_data, tmp_path):
     """--mem-capacity 2 makes most reads overflow; the escalation tiers must
     recover them on the device (stderr says so) with stdout identical to the
