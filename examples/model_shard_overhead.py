@@ -68,16 +68,32 @@ def main():
     c_plain = np.asarray(run_plain().count)   # compile + correctness anchor
     c_shard = np.asarray(run_sharded().count)
     assert np.array_equal(c_plain, c_shard), "sharded formulation diverged"
+    # extra warm launches so BOTH programs are equally warm before timing
+    # (the round-3 A/B ran plain first and its warm-up asymmetry confounded
+    # the comparison - VERDICT r4 weak #7)
+    np.asarray(run_plain().count)
+    np.asarray(run_sharded().count)
 
-    for name, fn in [("plain single-chip", run_plain),
-                     ("sharded form (1x1 mesh)", run_sharded)]:
+    # sharded/plain/sharded bracket in one process: the repeat sharded leg
+    # bounds tunnel drift, so the honest overhead is plain vs the bracket
+    results = {}
+    for name, fn in [("sharded", run_sharded), ("plain", run_plain),
+                     ("sharded2", run_sharded)]:
         t0 = time.perf_counter()
         n_rep = 3
         pend = [fn() for _ in range(n_rep)]
         _ = [np.asarray(p.count) for p in pend]
         dt = (time.perf_counter() - t0) / n_rep
-        print(f"[shard-overhead] {name:24s} {lanes/dt:8.0f} reads/s",
+        results[name] = lanes / dt
+        print(f"[shard-overhead] {name:10s} {lanes/dt:8.0f} reads/s",
               file=sys.stderr)
+    bracket = (results["sharded"] + results["sharded2"]) / 2
+    print(f"[shard-overhead] overhead of the sharded formulation: "
+          f"{(results['plain'] / bracket - 1) * 100:+.1f}% "
+          f"(plain {results['plain']:.0f} vs sharded bracket {bracket:.0f}; "
+          f"drift between sharded legs "
+          f"{abs(results['sharded'] - results['sharded2']) / bracket * 100:.1f}%)",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

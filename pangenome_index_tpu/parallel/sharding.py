@@ -41,7 +41,8 @@ def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
 def pad_rindex_tables(idx: RIndex, n_shards: int,
                       checkpoint: bool = False,
                       ckpt_block: int = 64,
-                      super_shift: int | None = None) -> RIndexTables:
+                      super_shift: int | None = None,
+                      mem_only: bool = False) -> RIndexTables:
     """Device tables with the run dimension padded to a multiple of n_shards
     using sentinel runs (start = n+1, full cumulative counts).
 
@@ -50,9 +51,14 @@ def pad_rindex_tables(idx: RIndex, n_shards: int,
     row count padded to a multiple of n_shards; rows are contiguous
     64-position ranges, so range-sharding them over `model` keeps the
     one-gather rank path (the pad rows duplicate the final
-    totals-checkpoint row and are unreachable for positions <= n)."""
+    totals-checkpoint row and are unreachable for positions <= n).
+
+    mem_only (requires checkpoint): the per-run/locate tables ship as stubs
+    (ops/tables.py mem_only), tiled to n_shards rows so the 'model'-sharded
+    in_specs still apply - the big-index mesh deployment shape (MEM serving
+    reads only ckpt(+super), C and n)."""
     r = idx.n_runs
-    pad = (-r) % n_shards
+    pad = 0 if mem_only else (-r) % n_shards
     if pad:
         full_cum = idx.cum[-1].copy()
         full_cum[idx.run_sym[-1]] += idx.run_len[-1]
@@ -67,10 +73,12 @@ def pad_rindex_tables(idx: RIndex, n_shards: int,
             last_to_run=np.concatenate((idx.last_to_run, np.zeros(pad, np.int64))),
         )
     t = rindex_to_device(idx, checkpoint=checkpoint, ckpt_block=ckpt_block,
-                         super_shift=super_shift)
+                         super_shift=super_shift, mem_only=mem_only)
+    if mem_only:
+        # the 1-row stubs must still divide over 'model': tile to n_shards
+        t = t._replace(run_sym=jnp.tile(t.run_sym, n_shards),
+                       run_start=jnp.tile(t.run_start, n_shards))
     if checkpoint:
-        import jax.numpy as jnp
-
         rows = np.asarray(t.ckpt)
         rpad = (-rows.shape[0]) % n_shards
         if rpad:

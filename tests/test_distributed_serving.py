@@ -163,3 +163,65 @@ def test_distributed_two_level_ckpt_matches_single(ref_data, with_seeds):
     assert int(total) == int(np.asarray(ref.count).sum())
     for a, b in zip(res, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_distributed_mem_only_matches_single(ref_data):
+    """mem_only mesh tables (per-run/locate stubs tiled over 'model' - the
+    big-index deployment shape): the full serving step still matches the
+    single-device engine exactly (VERDICT r4 item 7)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    tags = tagfmt.load_tags_file(ref_data / "bidirectional_test/xy_bidirectional_compressed.tags")
+    with open(ref_data / "bidirectional_test/contigs_xy", "rb") as fh:
+        lines = [l for l in fh.read().split(b"\n") if l]
+    rng = np.random.default_rng(31)
+    B, L = 8, 30
+    codes = np.zeros((B, L), np.int32)
+    for i in range(B):
+        line = lines[int(rng.integers(len(lines)))]
+        a = int(rng.integers(0, len(line) - L))
+        codes[i] = [BYTE_TO_CODE[c] for c in line[a : a + L]]
+    lens = np.full(B, L, np.int32)
+
+    t_single = rindex_to_device(idx, checkpoint=True)
+    tt = tags_to_device(tags)
+    ref = find_mems_batch(t_single, jnp.asarray(codes), jnp.asarray(lens),
+                          10, 1, capacity=8)
+
+    mesh = make_mesh(2, 4)  # 4-way model sharding of the ckpt rows
+    t_pad = pad_rindex_tables(idx, 4, checkpoint=True, super_shift=9,
+                              mem_only=True)
+    assert t_pad.ckpt_super is not None
+    assert t_pad.run_start.shape[0] == 4  # tiled stubs, one row per shard
+    step = make_distributed_serving_step(mesh, capacity=8, tag_capacity=32,
+                                         tables=t_pad)
+    with mesh:
+        res, tq, total = step(t_pad, tt, jnp.asarray(codes), jnp.asarray(lens),
+                              jnp.asarray(10, t_pad.pos_dtype),
+                              jnp.asarray(1, t_pad.pos_dtype))
+    assert int(total) == int(np.asarray(ref.count).sum())
+    for a, b in zip(res, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dryrun_16_devices():
+    """The driver's dryrun entry on a 16-virtual-device mesh: 4x4
+    (data x model) with two-level ckpt + mem_only tables, executed in a
+    subprocess so the device count differs from the suite's 8
+    (VERDICT r4 item 7)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "PYTHONPATH")}
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, str(repo / "__graft_entry__.py"), "16"],
+                       capture_output=True, timeout=600, cwd=repo, env=env)
+    err = r.stderr.decode(errors="replace")
+    assert r.returncode == 0, err
+    assert "mesh data=4 x model=4 (mem_only tables)" in err, err
