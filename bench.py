@@ -510,7 +510,7 @@ def main():
     deadline = float(os.environ.get("PANIDX_BENCH_DEADLINE", "0"))
 
     def emit(device_rps, host1, host2, mer_m, suffix="", tags_rps=None,
-             host_comb=None, tag_ov_frac=None):
+             host_comb=None, tag_ov_frac=None, s_long=None):
         rec = {
             "metric": "mem_find_reads_per_s",
             "value": round(device_rps, 1),
@@ -521,6 +521,8 @@ def main():
             "vs_baseline_32core_ideal": round(device_rps / (32 * host1), 2),
             "seed_m": mer_m,
         }
+        if s_long:
+            rec["long_seed_s"] = s_long  # sparse dictionary tier active
         if tags_rps:
             # the same batch served through BOTH halves (MEM finding + one
             # tag lookup per buffered MEM, find_mems.cpp:96-146)
@@ -532,10 +534,11 @@ def main():
             rec["tag_overflow_frac"] = round(tag_ov_frac or 0.0, 4)
         print(json.dumps(rec), flush=True)
 
-    def emit_tags(tags_rps, mem_rps, host_comb, mer_m):
+    def emit_tags(tags_rps, mem_rps, host_comb, mer_m, s_long=None):
         print(json.dumps({
             "metric": "mem_find_and_tags_reads_per_s",
             "value": round(tags_rps, 1),
+            **({"long_seed_s": s_long} if s_long else {}),
             "unit": (f"reads/s through BOTH serving halves (MEM finding + "
                      f"per-buffered-MEM tag lookup, find_mems.cpp:96-146; "
                      f"150bp, minlen20, {idx.n // 1_000_000}Mbp synthetic "
@@ -632,6 +635,7 @@ def main():
         # indexes - the worker-crash mode was 600 Mbp), cached npz as
         # fallback. Only attempted with wall budget for a cold builder
         # compile + build + measurement.
+        best = m
         remaining = (deadline - time.monotonic()) if deadline else float("inf")
         budget = 300
         if prefer_build and remaining > budget:
@@ -648,9 +652,43 @@ def main():
                 emit(m14["device_rps"], host_rps, host2, 14,
                      tags_rps=m14.get("tags_rps"), host_comb=host_comb1,
                      tag_ov_frac=m14.get("tag_ov_frac"))
+                best = m14
         else:
             print(f"[bench] m=14 upgrade skipped: {remaining:.0f}s left < "
                   f"budget {budget:.0f}s (or cpu backend)", file=sys.stderr)
+
+        # sparse long-seed dictionary upgrade (round 5): bi-intervals of
+        # every OCCURRING (min_len-1)-mer collapse step-1 of each MEM call
+        # to one stepwise extension (ops/sparsedict.py; 14.1k -> 68.8k
+        # reads/s on the depth90 realistic-filter row, PERF.md round 5).
+        # The host frontier build is ~2 min once per index, then cached;
+        # without a cache it only runs with wall budget to spare.
+        from pangenome_index_tpu.ops.sparsedict import (get_sparse_dict,
+                                                        sparse_dict_key)
+
+        s_long = MIN_LEN - 1
+        sd_path = os.path.join(cache, f"sdict_{sparse_dict_key(idx, s_long)}.npz")
+        remaining = (deadline - time.monotonic()) if deadline else float("inf")
+        if prefer_build and (os.path.exists(sd_path) or remaining > 400):
+            keys_sd, vals_sd = get_sparse_dict(idx, s_long, path=sd_path)
+            msd = serve_measure(idx, codes, lens, chunk=None,
+                                mer_m=best["mer_m"], mer_cache_dir=cache,
+                                prefer_build=True, persist=False,
+                                measure_ext=False, tag_tables=tags,
+                                sdict=(keys_sd, vals_sd, s_long))
+            if not np.array_equal(msd["counts"], m["counts"]):
+                print("[bench] WARNING: long-seed MEM counts diverged; "
+                      "upgrade discarded", file=sys.stderr)
+            elif msd["device_rps"] > best["device_rps"]:
+                if msd.get("tags_rps"):
+                    emit_tags(msd["tags_rps"], msd["device_rps"],
+                              host_comb1, msd["mer_m"], s_long)
+                emit(msd["device_rps"], host_rps, host2, msd["mer_m"],
+                     tags_rps=msd.get("tags_rps"), host_comb=host_comb1,
+                     tag_ov_frac=msd.get("tag_ov_frac"), s_long=s_long)
+        else:
+            print(f"[bench] long-seed upgrade skipped: no cache and "
+                  f"{remaining:.0f}s left", file=sys.stderr)
     except Exception as exc:
         print(f"[bench] post-measurement work failed ({type(exc).__name__}: "
               f"{exc}); phase-1 line stands", file=sys.stderr)

@@ -48,7 +48,9 @@ def main():
     codes, lens = bench.encode_reads(reads, bench.N_READS, bench.READ_LEN)
 
     t0 = time.perf_counter()
-    sd_path = os.path.join(cache, f"sdict_{scale}_{s_long}.npz")
+    from pangenome_index_tpu.ops.sparsedict import sparse_dict_key
+
+    sd_path = os.path.join(cache, f"sdict_{sparse_dict_key(idx, s_long)}.npz")
     keys, vals = get_sparse_dict(idx, s_long, path=sd_path)
     build_s = time.perf_counter() - t0
     mb = (keys.nbytes + vals.nbytes) / 1e6

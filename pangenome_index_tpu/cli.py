@@ -206,6 +206,17 @@ def cmd_find_mems(args) -> int:
                 mt_np = np.asarray(mt_dev)
             del mt_dev  # free the single-chip copy before t_pad lands
             mk, mv = read_mer_keys(codes, lens, mer_m)
+        s_long = _resolve_long_seed(getattr(args, "long_seed", 0),
+                                    args.min_len, mer_m)
+        sd_vals = None
+        if s_long:
+            from .ops.mertable import read_mer_keys as _rmk
+            from .ops.sparsedict import get_sparse_dict, lookup_read_windows
+
+            sd_keys, sd_vals = get_sparse_dict(
+                idx, s_long, path=None if args.no_mer_cache
+                else f"{args.ri}.sdict{s_long}.npz")
+            di = lookup_read_windows(sd_keys, *_rmk(codes, lens, s_long))
         # the two-level ckpt layout (ops/tables.py) serves any n now; the
         # rows stay int32 (superblock-relative) at n >= 2^31
         use_ckpt = args.rank_mode == "checkpoint"
@@ -213,7 +224,7 @@ def cmd_find_mems(args) -> int:
         tt = tags_to_device(tags)
         step = make_distributed_serving_step(
             mesh, capacity=args.mem_capacity, tag_capacity=args.tag_capacity,
-            tables=t_pad, mer_m=mer_m)
+            tables=t_pad, mer_m=mer_m, sdict_m=s_long)
         B = (args.batch_size or 4096) * n_data  # global lanes per dispatch
         chunks = []
         tm = time.perf_counter()
@@ -221,6 +232,9 @@ def cmd_find_mems(args) -> int:
             mer_head = ()
             if mer_m:
                 mer_head = (jnp.asarray(mt_np, t_pad.pos_dtype),)
+            sd_head = ()
+            if s_long:
+                sd_head = (jnp.asarray(sd_vals, t_pad.pos_dtype),)
             for s0 in range(0, n_reads, B):
                 hi = min(s0 + B, n_reads)
                 pad = (-(hi - s0)) % n_data
@@ -231,6 +245,10 @@ def cmd_find_mems(args) -> int:
                     mer_args = mer_head + (
                         jnp.asarray(np.pad(mk[s0:hi], ((0, pad), (0, 0)))),
                         jnp.asarray(np.pad(mv[s0:hi], ((0, pad), (0, 0)))))
+                if s_long:
+                    mer_args = mer_args + sd_head + (jnp.asarray(
+                        np.pad(di[s0:hi], ((0, pad), (0, 0)),
+                               constant_values=-1)),)
                 chunks.append((hi - s0, step(
                     t_pad, tt, jnp.asarray(codes_p), jnp.asarray(lens_p),
                     jnp.asarray(args.min_len, t_pad.pos_dtype),
@@ -727,13 +745,16 @@ def main(argv=None) -> int:
                            help="m-mer seed table size; -1 = auto "
                                 "(min(14, min_len-1), the measured serving "
                                 "optimum - PERF.md round 3), 0 disables")
-            q.add_argument("--long-seed", type=int, default=0,
+            q.add_argument("--long-seed", type=int, default=-1,
                            help="sparse long-seed dictionary window size "
                                 "(ops/sparsedict.py): -1 = auto "
-                                "(min(min_len-1, 31)), 0 = off. Collapses "
-                                "step-1 of every MEM call to one stepwise "
-                                "extension when the window occurs; built "
-                                "once and cached next to the index")
+                                "(min(min_len-1, 31), the measured optimum: "
+                                "2.0x at min_occ=1, 4.9x on the "
+                                "aligner-filter row - PERF.md round 5), "
+                                "0 = off. Collapses step-1 of every MEM "
+                                "call to one stepwise extension when the "
+                                "window occurs; built once (~1-2 min) and "
+                                "cached next to the index")
             q.add_argument("--no-mer-cache", action="store_true",
                            help="do not persist the seed table next to the index")
             q.add_argument("--batch-size", type=int, default=0,

@@ -72,6 +72,13 @@ _build_mer_jit = None
 #: which is what made the 600 Mbp + m=14 build crash the TPU worker with the
 #: 600 MB ckpt table resident (PERF.md round 3).
 FORI_BASE = 12
+#: int64 tables (n >= 2^31): the tunnel's remote compile helper crashes
+#: (HTTP 500) on the int64 4^12-key fori program while the 4^11 one compiles
+#: fine (PERF.md round 4, the 2.3 Gbp m=12 step-down). Capping the fori base
+#: at 11 makes every int64 m >= 12 build run as the PROVEN 4^11 fori plus
+#: explicit expansion levels - sidestepping the helper crash instead of
+#: stepping the whole build down to m=11 (VERDICT r4 item 4).
+FORI_BASE_I64 = 11
 
 
 def build_mer_table_device(t, m: int, fori_base: int | None = None) -> "jax.Array":
@@ -153,7 +160,11 @@ def build_mer_table_device(t, m: int, fori_base: int | None = None) -> "jax.Arra
             return jnp.stack((k, kp, s), axis=1)
 
         _build_mer_jit = _build
-    base = min(m, FORI_BASE if fori_base is None else fori_base)
+    if fori_base is None:
+        import jax.numpy as jnp
+
+        fori_base = (FORI_BASE_I64 if t.pos_dtype == jnp.int64 else FORI_BASE)
+    base = min(m, fori_base)
     return _build_mer_jit(t, m, base)
 
 

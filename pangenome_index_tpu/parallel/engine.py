@@ -56,35 +56,57 @@ def _rank_provider(t_local: RIndexTables):
         t_local.run_start, t_local.run_sym, t_local.cum, pos, axis="model")
 
 
+def _seed_in_specs(mer_m: int, sdict_m: int):
+    """Trailing in_specs for the optional seed tiers: the dense table and
+    sparse dictionary values replicate; per-read keys shard over 'data'."""
+    specs = ()
+    if mer_m:
+        specs += (P(), P("data", None), P("data", None))
+    if sdict_m:
+        specs += (P(), P("data", None))
+    return specs
+
+
+def _seed_kwargs(mer_m: int, sdict_m: int, seed_args):
+    kw = {}
+    if mer_m:
+        kw.update(mer_table=seed_args[0], mer_keys=seed_args[1],
+                  mer_valid=seed_args[2], mer_m=mer_m)
+        seed_args = seed_args[3:]
+    if sdict_m:
+        kw.update(sdict_vals=seed_args[0], sdict_idx=seed_args[1],
+                  sdict_m=sdict_m)
+    return kw
+
+
 def make_distributed_mem_step(mesh: Mesh, capacity: int = 16,
                               tables: RIndexTables | None = None,
-                              mer_m: int = 0):
+                              mer_m: int = 0, sdict_m: int = 0):
     """Returns a jitted step: (tables, codes, lengths, min_len, min_occ
-    [, mer_table, mer_keys, mer_valid])
+    [, mer_table, mer_keys, mer_valid][, sdict_vals, sdict_idx])
     -> (MemResult sharded over 'data', total MEM count replicated).
 
     `tables` (a host-side template) selects the spec/provider for the
     checkpoint representation; mer_m > 0 adds the m-mer seed-table arguments
-    (table replicated, per-read keys sharded over 'data')."""
+    (table replicated, per-read keys sharded over 'data'); sdict_m > 0 adds
+    the sparse long-seed dictionary tier (values replicated, per-read row
+    indices sharded over 'data' - ops/sparsedict.py)."""
     specs = run_specs(tables) if tables is not None else run_specs(
         RIndexTables(*(0,) * 10))
-    mer_in = (P(), P("data", None), P("data", None)) if mer_m else ()
+    seed_in = _seed_in_specs(mer_m, sdict_m)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(specs, P("data", None), P("data"), P(), P(), *mer_in),
+        in_specs=(specs, P("data", None), P("data"), P(), P(), *seed_in),
         out_specs=(jax.tree.map(lambda _: P("data"), MemResult(*(0,) * 6)), P()),
         check_vma=False,
     )
-    def step(t_local: RIndexTables, codes, lengths, min_len, min_occ, *mer):
-        kw = {}
-        if mer_m:
-            kw = dict(mer_table=mer[0], mer_keys=mer[1], mer_valid=mer[2],
-                      mer_m=mer_m)
+    def step(t_local: RIndexTables, codes, lengths, min_len, min_occ, *seed):
         res = find_mems_impl(t_local, codes, lengths, min_len, min_occ,
                              capacity=capacity,
-                             rank6_fn=_rank_provider(t_local), **kw)
+                             rank6_fn=_rank_provider(t_local),
+                             **_seed_kwargs(mer_m, sdict_m, seed))
         total = jax.lax.psum(res.count.sum(), "data")
         return res, total
 
@@ -94,35 +116,33 @@ def make_distributed_mem_step(mesh: Mesh, capacity: int = 16,
 def make_distributed_serving_step(mesh: Mesh, capacity: int = 16,
                                   tag_capacity: int = 32,
                                   tables: RIndexTables | None = None,
-                                  mer_m: int = 0):
+                                  mer_m: int = 0, sdict_m: int = 0):
     """The FULL serving step over the mesh: MEM finding (model-sharded rank
     via psum - checkpoint rows when the tables carry them) followed by tag
     lookups for every found MEM (tag tables replicated; find_mems.cpp:96-139
     semantics). Outputs are data-sharded; the total MEM count reduces over
     'data'. mer_m > 0 enables the m-mer seed table (replicated) with
-    per-read keys sharded over 'data'."""
+    per-read keys sharded over 'data'; sdict_m > 0 the sparse long-seed
+    dictionary tier (ops/sparsedict.py)."""
     specs = run_specs(tables) if tables is not None else run_specs(
         RIndexTables(*(0,) * 10))
-    mer_in = (P(), P("data", None), P("data", None)) if mer_m else ()
+    seed_in = _seed_in_specs(mer_m, sdict_m)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(specs, jax.tree.map(lambda _: P(), TagTables(0, 0, 0)),
-                  P("data", None), P("data"), P(), P(), *mer_in),
+                  P("data", None), P("data"), P(), P(), *seed_in),
         out_specs=(jax.tree.map(lambda _: P("data"), MemResult(*(0,) * 6)),
                    jax.tree.map(lambda _: P("data"), TagQueryResult(*(0,) * 4)),
                    P()),
         check_vma=False,
     )
-    def step(t_local, tt, codes, lengths, min_len, min_occ, *mer):
-        kw = {}
-        if mer_m:
-            kw = dict(mer_table=mer[0], mer_keys=mer[1], mer_valid=mer[2],
-                      mer_m=mer_m)
+    def step(t_local, tt, codes, lengths, min_len, min_occ, *seed):
         res = find_mems_impl(t_local, codes, lengths, min_len, min_occ,
                              capacity=capacity,
-                             rank6_fn=_rank_provider(t_local), **kw)
+                             rank6_fn=_rank_provider(t_local),
+                             **_seed_kwargs(mer_m, sdict_m, seed))
         B, M = res.bwt_start.shape
         starts = res.bwt_start.reshape(B * M)
         ends = (res.bwt_start + res.size - 1).reshape(B * M)

@@ -147,6 +147,21 @@ def test_mesh_cli_matches_host_engine(ref_data, tmp_path):
         outs[name] = b"\n".join(l for l in o.stdout.splitlines()
                                 if b"seconds" not in l)
     assert outs["mesh"] == outs["host"]
+    # with the seed tiers active (dense m-mer + long-seed dictionary,
+    # replicated over the mesh): still byte-equal to the host engine
+    for name, extra, env in (
+        ("host12", ["--engine", "host"], None),
+        ("mesh12", ["--mesh", "4x2", "--mer-len", "4", "--long-seed", "-1",
+                    "--no-mer-cache"],
+         {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}),
+    ):
+        o = run(["find-mems", str(ref / "xy.ri"),
+                 str(ref / "xy_bidirectional_compressed.tags"),
+                 str(ref / "test_reads.txt"), "12", "1", *extra],
+                tmp_path, env_extra=env)
+        outs[name] = b"\n".join(l for l in o.stdout.splitlines()
+                                if b"seconds" not in l)
+    assert outs["mesh12"] == outs["host12"]
 
 
 def test_merge_tags_cli_accepts_all_formats(ref_data, tmp_path):
