@@ -83,7 +83,7 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
                   mer_cache_dir=None, ckpt_block=64, cache_only=False,
                   prefer_build=False, persist=True, pair_rank=None,
                   mem_only=False, on_provisional=None,
-                  tag_tables=None, tag_capacity=32, on_mem_result=None,
+                  tag_tables=None, tag_capacity=8, on_mem_result=None,
                   sdict=None,
                   log=lambda s: print(s, file=sys.stderr)):
     """Full device serving measurement on one chip: checkpoint-rank tables,
@@ -100,7 +100,15 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
     sdict = (keys, vals, s): the sparse long-seed dictionary tier
     (ops/sparsedict.py) cascaded over the dense table; window lookups run
     host-side once per batch (np.searchsorted), the same treatment as
-    read_mer_keys."""
+    read_mer_keys.
+
+    tag_capacity=8: the bounded tag-serving contract, like MEM_CAP -
+    measured run spans per MEM interval are 1 at every bench workload (a
+    MEM's occurrences are the same locus across haplotypes, which is one
+    tag run - the tag-array paper's structural point), so 8 covers with 4x
+    margin while reading 4x fewer gather rows than 32; overflow is counted
+    and reported, and the CLI serving path re-queries overflowed lanes on
+    the host."""
     import jax
     import jax.numpy as jnp
 
