@@ -12,22 +12,33 @@ Usage: python examples/tpu_when_healthy.py <threshold_s> <total_budget_s>
 
 import os
 import runpy
+import subprocess
 import sys
 import time
 
+_PROBE = """
+import time, numpy as np, jax
+t0 = time.time()
+x = jax.device_put(np.zeros(1 << 18, np.float32))
+np.asarray(x)
+print(time.time() - t0)
+"""
+
 
 def probe(threshold: float) -> bool:
-    import jax
-    import numpy as np
-
+    # subprocess + hard timeout: a stalled device_put otherwise hangs THIS
+    # process through later healthy windows (observed: 1 MB transfers
+    # wedged 25+ min during an outage)
     try:
-        t0 = time.time()
-        x = jax.device_put(np.zeros(1 << 18, np.float32))
-        np.asarray(x)
-        dt = time.time() - t0
+        r = subprocess.run([sys.executable, "-c", _PROBE],
+                           capture_output=True, timeout=max(threshold * 6, 60))
+        dt = float(r.stdout.split()[-1])
         print(f"[healthy?] 1MB round-trip {dt:.1f}s (threshold {threshold})",
               file=sys.stderr, flush=True)
         return dt < threshold
+    except subprocess.TimeoutExpired:
+        print("[healthy?] probe timed out (outage)", file=sys.stderr, flush=True)
+        return False
     except Exception as exc:
         print(f"[healthy?] probe failed: {exc}", file=sys.stderr, flush=True)
         return False
