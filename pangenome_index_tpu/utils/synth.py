@@ -189,10 +189,17 @@ def synth_tag_array(idx: RIndex, lines: list[bytes] | None = None,
             raise
         o = oracle_from_lines(lines)
         sa_seq, sa_pos = o.da, o.sa_pos
-    enc = ((sa_pos.astype(np.int64) // node_len + 1) << 11) \
-        | (sa_pos.astype(np.int64) % node_len)
+    del sa_seq  # positions are hap-independent here; ~8 B/row freed before
+    # the packed array lands (the 2.3 Gbp build runs near this host's RAM)
+    enc = sa_pos.astype(np.int64)
+    np.floor_divide(enc, node_len, out=enc)
+    enc += 1
+    enc <<= 11
+    enc |= sa_pos % node_len  # (node_len is a power of two; offsets < 1024)
     enc[: idx.n_seq] = 0
+    del sa_pos
     vals, lens = rle(enc)
+    del enc
     if cache is not None:
         cache.parent.mkdir(parents=True, exist_ok=True)
         np.savez(cache, pos_enc=vals, lengths=lens)
