@@ -454,17 +454,25 @@ def cmd_find_mems(args) -> int:
                 ends[i, : len(mems)] = full[1]
                 bwts[i, : len(mems)] = full[2]
                 sizes[i, : len(mems)] = full[3]
-        # batched tag queries over all MEMs at once
-        flat = [(i, m) for i in range(len(reads)) for m in range(int(counts[i]))]
+        # batched tag queries over all MEMs at once (vectorized flat build -
+        # a Python pair-list at dense workloads is millions of tuples)
         tq = time.perf_counter()
-        if flat:
-            qs = np.array([bwts[i, m] for i, m in flat])
-            qe = np.array([bwts[i, m] + sizes[i, m] - 1 for i, m in flat])
+        counts = counts.astype(np.int64)
+        n_flat = int(counts.sum())
+        if n_flat:
+            ii = np.repeat(np.arange(len(reads)), counts)
+            within = np.arange(n_flat) - np.repeat(np.cumsum(counts) - counts,
+                                                   counts)
+            qs = bwts[ii, within]
+            qe = qs + sizes[ii, within] - 1
             tags_res = query_tags_batch(tt, jnp.asarray(qs, tt.bwt_start.dtype),
                                         jnp.asarray(qe, tt.bwt_start.dtype),
                                         capacity=args.tag_capacity)
-            tpos = np.asarray(tags_res.positions)
             tuniq = np.asarray(tags_res.n_unique)
+            # positions are compacted to the front of each lane: fetch only
+            # the occupied columns (at dense workloads n_unique is ~1 while
+            # capacity is 256 - a ~100x cut of the device->host transfer)
+            tpos = np.asarray(tags_res.positions[:, : max(int(tuniq.max()), 1)])
             toflow = np.asarray(tags_res.overflow)
         total_tag_time = time.perf_counter() - tq
         fi = 0

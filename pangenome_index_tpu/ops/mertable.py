@@ -160,12 +160,69 @@ def build_mer_table_device(t, m: int, fori_base: int | None = None) -> "jax.Arra
             return jnp.stack((k, kp, s), axis=1)
 
         _build_mer_jit = _build
-    if fori_base is None:
-        import jax.numpy as jnp
+    import jax.numpy as jnp
 
+    if fori_base is None:
         fori_base = (FORI_BASE_I64 if t.pos_dtype == jnp.int64 else FORI_BASE)
     base = min(m, fori_base)
+    if m > base and t.pos_dtype == jnp.int64:
+        # int64 + any level wider than 4^base: the tunnel's compile helper
+        # rejects 4^12-wide int64 programs outright (HTTP 500 - PERF.md
+        # round 4/5), so levels past `base` run as per-leading-base BRANCH
+        # builds: the shared [4^base] state is extended by each branch's
+        # fixed top characters, every program staying at the proven 4^base
+        # width, and the branch char is a traced scalar so ONE compiled
+        # extend serves all 4^(m-base) branches (VERDICT r4 item 4).
+        return _build_mer_split(t, m, base)
     return _build_mer_jit(t, m, base)
+
+
+_ext_fixed_jit = None
+
+
+def _build_mer_split(t, m: int, base: int):
+    """[4^m, 3] table as 4^(m-base) branch builds of 4^base width each.
+
+    Branch v covers final keys v << 2*base | low: the shared length-`base`
+    suffix state is extended by v's 2-bit chars from bit 0 upward (the
+    prepend order). Branches concatenate in v order, which IS final key
+    order. Work inflation vs the direct expansion: branches re-extend the
+    shared intermediate levels (x(m-base) at m=14), the price of keeping
+    every compiled program at 4^base width."""
+    global _ext_fixed_jit
+    import jax
+    import jax.numpy as jnp
+
+    from .fmd import extend
+
+    if _ext_fixed_jit is None:
+        SLAB = 1 << 18
+
+        @jax.jit
+        def _ext_fixed(t, tab, code):
+            size = tab.shape[0]
+            slab = min(size, SLAB)
+            n_slabs = size // slab
+
+            def one(tb):
+                c = jnp.full(tb.shape[0], code, jnp.int32)  # extend wants [B]
+                k2, kp2, s2 = extend(t, tb[:, 0], tb[:, 1], tb[:, 2], c)
+                return jnp.stack((k2, kp2, s2), axis=-1)
+
+            return jax.lax.map(one, tab.reshape(n_slabs, slab, 3)
+                               ).reshape(size, 3)
+
+        _ext_fixed_jit = _ext_fixed
+    state = build_mer_table_device(t, base, fori_base=base)  # [4^base, 3]
+    parts = []
+    for v in range(4 ** (m - base)):
+        tab = state
+        for lvl in range(m - base):
+            b = (v >> (2 * lvl)) & 3
+            code = jnp.asarray(b + 1 + (b == 3), jnp.int32)
+            tab = _ext_fixed_jit(t, tab, code)
+        parts.append(tab)
+    return jnp.concatenate(parts, axis=0)
 
 
 def mer_table_key(idx: RIndex, m: int) -> str:

@@ -237,3 +237,21 @@ def test_get_mer_table_cache_roundtrip(tmp_path, ref_data):
     assert dev2 is None and m2 == 5  # cache hit: no device build
     np.testing.assert_array_equal(np.asarray(t2, np.int64),
                                   np.asarray(t1, np.int64))
+
+
+def test_mer_table_split_branch_build(ref_data):
+    """The per-leading-base branch build (int64 compile-helper workaround,
+    _build_mer_split) must produce the identical table to the host build -
+    branch concatenation order IS key order."""
+    import jax.numpy as jnp
+
+    from pangenome_index_tpu.ops.mertable import (_build_mer_split,
+                                                  build_mer_table)
+    from pangenome_index_tpu.ops.tables import rindex_to_device
+
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    t = rindex_to_device(idx, checkpoint=True)
+    for m, base in ((5, 3), (6, 5), (4, 4)):
+        got = np.asarray(_build_mer_split(t, m, base), np.int64)
+        np.testing.assert_array_equal(got, build_mer_table(idx, m),
+                                      err_msg=f"m={m} base={base}")
