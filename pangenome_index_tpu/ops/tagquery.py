@@ -77,14 +77,38 @@ def query_mem_tags(tt: TagTables, bwt_start: jax.Array, size: jax.Array,
 
     bwt_start/size: [B, M] MemResult buffers; count: [B]. Returns
     (n_unique [B, M] int32 with invalid slots zeroed,
-     overflow [B, M] bool - lanes whose run span exceeded `capacity`)."""
+     overflow [B, M] bool - lanes whose run span exceeded `capacity`).
+
+    Dedupe here is an O(capacity^2) pairwise mask (count a value when no
+    earlier window slot holds it), not the serving path's sort + argsort
+    compaction: at the small capacities MEM intervals need (run span is ~1
+    on pangenome workloads - one locus across haplotypes IS one tag run)
+    the pairwise form is pure VPU math, while two [B*M, cap] sorts
+    dominated the measured tag half. Counts are identical (cross-checked
+    against the native engine every bench run); position lists for OUTPUT
+    still come from query_tags_batch (the CLI path)."""
     B, M = bwt_start.shape
+    t = tt.bwt_start.shape[0]
     valid = jnp.arange(M, dtype=jnp.int32)[None, :] \
         < jnp.minimum(count, M).astype(jnp.int32)[:, None]
-    s = jnp.where(valid, bwt_start, 0).reshape(B * M)
-    e = jnp.where(valid, bwt_start + size - 1, 0).reshape(B * M)
-    tq = query_tags_batch(tt, s.astype(tt.bwt_start.dtype),
-                          e.astype(tt.bwt_start.dtype), capacity=capacity)
-    nu = jnp.where(valid, tq.n_unique.reshape(B, M), 0)
-    ov = tq.overflow.reshape(B, M) & valid
+    s = jnp.where(valid, bwt_start, 0).reshape(B * M).astype(tt.bwt_start.dtype)
+    e = jnp.where(valid, bwt_start + size - 1, 0).reshape(B * M) \
+        .astype(tt.bwt_start.dtype)
+    first_bit = jnp.searchsorted(tt.bwt_start, s, side="right").astype(jnp.int32)
+    end_bit = jnp.searchsorted(tt.bwt_start, e, side="right").astype(jnp.int32)
+    run_nums = end_bit - first_bit + 1
+    rs = jnp.where(first_bit % START_EVERY_K == 0, first_bit, first_bit - 1)
+    win = rs[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    ok = (jnp.arange(capacity)[None, :] < run_nums[:, None]) \
+        & (win < t) & (win >= 0)
+    vals = tt.pos_enc[jnp.clip(win, 0, t - 1)]
+    big = jnp.iinfo(vals.dtype).max
+    vals = jnp.where(ok, vals, big)
+    # first-occurrence count: slot j is unique iff no slot i < j equals it
+    dup = (vals[:, :, None] == vals[:, None, :]) \
+        & (jnp.arange(capacity)[None, :, None]
+           > jnp.arange(capacity)[None, None, :])
+    uniq = (vals != big) & ~dup.any(axis=2)
+    nu = jnp.where(valid, uniq.sum(axis=1).astype(jnp.int32).reshape(B, M), 0)
+    ov = (run_nums > capacity).reshape(B, M) & valid
     return nu, ov

@@ -117,3 +117,34 @@ def test_fuzz_load_tags_never_silently_misparses():
             tagfmt.load_tags(bytes(data))
         except Exception:
             pass  # loud failure is the acceptable outcome
+
+
+def test_query_mem_tags_matches_full_query(ref_data):
+    """The pairwise-dedupe count op must agree with the sort-based
+    query_tags_batch on n_unique/overflow for every (read, MEM) slot."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pangenome_index_tpu.formats import tags as tagfmt
+    from pangenome_index_tpu.ops.tables import tags_to_device
+    from pangenome_index_tpu.ops.tagquery import query_mem_tags, query_tags_batch
+
+    tags = tagfmt.load_tags_file(
+        ref_data / "bidirectional_test/xy_bidirectional_compressed.tags")
+    tt = tags_to_device(tags)
+    rng = np.random.default_rng(3)
+    B, M = 16, 4
+    bwt = rng.integers(0, int(tags.total) - 200, (B, M))
+    size = rng.integers(1, 180, (B, M))
+    count = rng.integers(0, M + 2, B)
+    for cap in (4, 16):
+        nu, ov = query_mem_tags(tt, jnp.asarray(bwt), jnp.asarray(size),
+                                jnp.asarray(count), capacity=cap)
+        valid = np.arange(M)[None, :] < np.minimum(count, M)[:, None]
+        s = np.where(valid, bwt, 0).reshape(-1)
+        e = np.where(valid, bwt + size - 1, 0).reshape(-1)
+        ref = query_tags_batch(tt, jnp.asarray(s), jnp.asarray(e), capacity=cap)
+        nu_ref = np.where(valid, np.asarray(ref.n_unique).reshape(B, M), 0)
+        ov_ref = np.asarray(ref.overflow).reshape(B, M) & valid
+        np.testing.assert_array_equal(np.asarray(nu), nu_ref)
+        np.testing.assert_array_equal(np.asarray(ov), ov_ref)
