@@ -376,18 +376,27 @@ def read_mer_keys(codes: np.ndarray, lengths: np.ndarray, m: int):
     2m > 31 bits, i.e. m > 15 (the long-seed dictionary windows) -
     valid [B, L+1] bool) where entry i describes the window codes[i-m+1 .. i];
     valid requires the window to be ACGT-only and fully inside the read.
-    """
+
+    Computed as a rolling scan over columns (L vector steps of [B] work):
+    the old [B, L, m]-window materialization cost ~1 ms/read of host time at
+    the long-seed sizes - slower than the device serving it feeds. Key bits
+    at non-ACGT positions are garbage by construction; `valid` masks them
+    (and every consumer clamps/filters through it)."""
     B, L = codes.shape
     base = CODE_TO_BASE[codes]
     ok = base >= 0
     keys = np.zeros((B, L + 1), dtype=np.int64)
     valid = np.zeros((B, L + 1), dtype=bool)
     if L >= m:
-        win = np.lib.stride_tricks.sliding_window_view(base, m, axis=1)  # [B, L-m+1, m]
-        okw = np.lib.stride_tricks.sliding_window_view(ok, m, axis=1).all(axis=2)
-        shifts = (2 * (m - 1 - np.arange(m))).astype(np.int64)
-        kv = (np.maximum(win, 0) << shifts[None, None, :]).sum(axis=2)
-        keys[:, m - 1 : L] = kv
-        inside = (np.arange(m - 1, L)[None, :] < lengths[:, None])
-        valid[:, m - 1 : L] = okw & inside
+        mask = (np.int64(1) << (2 * m)) - 1
+        k = np.zeros(B, np.int64)
+        run = np.zeros(B, np.int32)  # consecutive ACGT count ending at i
+        b = np.maximum(base, 0)
+        for i in range(L):
+            k = ((k << 2) | b[:, i]) & mask
+            run = np.where(ok[:, i], run + 1, 0)
+            if i >= m - 1:
+                keys[:, i] = k
+                valid[:, i] = run >= m
+        valid[:, :L] &= np.arange(L)[None, :] < lengths[:, None]
     return keys.astype(np.int32 if m <= 15 else np.int64), valid
