@@ -255,3 +255,50 @@ def test_mer_table_split_branch_build(ref_data):
         got = np.asarray(_build_mer_split(t, m, base), np.int64)
         np.testing.assert_array_equal(got, build_mer_table(idx, m),
                                       err_msg=f"m={m} base={base}")
+
+
+def test_serve_measure_sdict_and_tags(ref_data):
+    """bench.serve_measure with the long-seed dictionary AND the tag loop:
+    counts equal the unseeded engine; per-MEM tag unique counts equal the
+    native engine on non-overflow lanes."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    import bench
+    from pangenome_index_tpu import native
+    from pangenome_index_tpu.ops.sparsedict import build_sparse_dict
+    from pangenome_index_tpu.utils.synth import synth_tag_array
+
+    idx = build_rindex(read_rlbwt(ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    with open(ref_data / "bidirectional_test/contigs_xy", "rb") as fh:
+        lines = [l for l in fh.read().split(b"\n") if l]
+    tags = synth_tag_array(idx, lines=lines, node_len=64)
+    rng = np.random.default_rng(9)
+    B, L = 48, 40
+    codes = np.zeros((B, L), np.int32)
+    for i in range(B):
+        line = lines[int(rng.integers(len(lines)))]
+        a = int(rng.integers(0, len(line) - L))
+        codes[i] = BYTE_TO_CODE[np.frombuffer(line[a : a + L], np.uint8)]
+    lens = np.full(B, L, np.int32)
+    keys, vals = build_sparse_dict(idx, 11)
+    m = bench.serve_measure(idx, codes, lens, min_len=12, min_occ=1, chunk=16,
+                            mer_m=5, iters=1, measure_ext=False,
+                            tag_tables=tags, sdict=(keys, vals, 11),
+                            log=lambda s: None)
+    m0 = bench.serve_measure(idx, codes, lens, min_len=12, min_occ=1, chunk=16,
+                             mer_m=0, iters=1, measure_ext=False,
+                             log=lambda s: None)
+    np.testing.assert_array_equal(m["counts"], m0["counts"])
+    assert m["tags_rps"] is not None and m["tag_nu"] is not None
+    if native.available():
+        eff = np.minimum(m["counts"], bench.MEM_CAP).astype(np.int64)
+        s_, e_, b_, z_, cnt = native.find_mems_native(
+            idx, codes, lens, 12, 1, capacity=bench.MEM_CAP)
+        ii = np.repeat(np.arange(B), eff)
+        w = np.arange(len(ii)) - np.repeat(np.cumsum(eff) - eff, eff)
+        qs = b_[ii, w]
+        qe = qs + z_[ii, w] - 1
+        _, tuniq, _ = native.query_tags_native(tags, qs, qe, capacity=256)
+        ok = ~m["tag_ov"][ii, w]
+        np.testing.assert_array_equal(tuniq[ok], m["tag_nu"][ii, w][ok])
