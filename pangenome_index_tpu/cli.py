@@ -216,7 +216,14 @@ def cmd_find_mems(args) -> int:
             sd_keys, sd_vals = get_sparse_dict(
                 idx, s_long, path=None if args.no_mer_cache
                 else f"{args.ri}.sdict{s_long}.npz")
-            di = lookup_read_windows(sd_keys, *_rmk(codes, lens, s_long))
+            from .ops.sparsedict import DEVICE_BYTES_CAP
+
+            if sd_vals.nbytes > DEVICE_BYTES_CAP:
+                print(f"long-seed dictionary over the HBM budget; dense tier "
+                      f"only (PANIDX_SDICT_MAX_BYTES overrides)", file=sys.stderr)
+                s_long, sd_vals = 0, None
+            else:
+                di = lookup_read_windows(sd_keys, *_rmk(codes, lens, s_long))
         # the two-level ckpt layout (ops/tables.py) serves any n now; the
         # rows stay int32 (superblock-relative) at n >= 2^31
         use_ckpt = args.rank_mode == "checkpoint"
@@ -339,9 +346,18 @@ def cmd_find_mems(args) -> int:
             sd_path = (None if args.no_mer_cache
                        else f"{args.ri}.sdict{s_long}.npz")
             sd_keys, sd_vals = get_sparse_dict(idx, s_long, path=sd_path)
-            di = lookup_read_windows(sd_keys, *_rmk(codes, lens, s_long))
-            mer_kw.update(sdict_vals=jnp.asarray(sd_vals),
-                          sdict_idx=jnp.asarray(di), sdict_m=s_long)
+            from .ops.sparsedict import DEVICE_BYTES_CAP
+
+            if sd_vals.nbytes > DEVICE_BYTES_CAP:
+                print(f"long-seed dictionary is {sd_vals.nbytes >> 20} MB "
+                      f"(> {DEVICE_BYTES_CAP >> 20} MB HBM budget); "
+                      f"serving with the dense tier only "
+                      f"(PANIDX_SDICT_MAX_BYTES overrides)", file=sys.stderr)
+                di = None
+            else:
+                di = lookup_read_windows(sd_keys, *_rmk(codes, lens, s_long))
+                mer_kw.update(sdict_vals=jnp.asarray(sd_vals),
+                              sdict_idx=jnp.asarray(di), sdict_m=s_long)
         tm = time.perf_counter()
         B = args.batch_size
         if B == 0 and len(reads) > 4096:

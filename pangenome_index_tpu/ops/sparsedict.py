@@ -38,6 +38,13 @@ from .mertable import BASE_CODES
 #: longest supported window: 2 bits/base must fit an int64 key
 MAX_S = 31
 
+#: device-residency budget for the dictionary values table: at HPRC
+#: whole-genome scale the distinct-s-mer count could push vals past what
+#: fits HBM alongside the checkpoint table; serving falls back to the dense
+#: tier when the dictionary exceeds this (override: PANIDX_SDICT_MAX_BYTES)
+DEVICE_BYTES_CAP = int(__import__("os").environ.get(
+    "PANIDX_SDICT_MAX_BYTES", 6 << 30))
+
 
 def build_sparse_dict(idx: RIndex, s: int, min_keep: int = 1):
     """Enumerate all length-s ACGT substrings with interval size >= min_keep.
