@@ -42,6 +42,25 @@ def _pack_reads(reads: list[bytes]):
     return codes, lens
 
 
+def _setup_compile_cache():
+    """Persistent XLA compile cache for the device engines: without it every
+    `panidx` process pays the serving-program compiles cold (~30-90 s over
+    the tunnel per invocation - the dominant cost of short CLI runs).
+    PANIDX_XLA_CACHE overrides the location; empty disables."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "PANIDX_XLA_CACHE", os.path.expanduser("~/.cache/panidx/xla"))
+        if cache_dir:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _resolve_long_seed(arg: int, min_len: int, mer_m: int) -> int:
     """Sparse long-seed dictionary window (ops/sparsedict.py). -1 = auto:
     min_len - 1 (step 1 of every MEM call becomes ONE stepwise extension),
@@ -169,6 +188,7 @@ def cmd_find_mems(args) -> int:
                 fi += 1
             print()
     elif getattr(args, "mesh", None):
+        _setup_compile_cache()
         # full serving step over a (data x model) jax.sharding.Mesh: reads
         # sharded over 'data', the checkpoint rank table range-sharded over
         # 'model' (one local gather + psum per rank query - the round-2
@@ -299,6 +319,7 @@ def cmd_find_mems(args) -> int:
             print()
         total_tag_time = time.perf_counter() - tq
     else:
+        _setup_compile_cache()
         import jax.numpy as jnp
 
         from .ops.mems import find_mems_batch
@@ -523,6 +544,7 @@ def cmd_query_tags(args) -> int:
         f, s = native.count_native(idx, codes, lens)
         ranges = list(zip(f.tolist(), s.tolist()))
     else:
+        _setup_compile_cache()
         import jax.numpy as jnp
 
         from .ops.rank import count as count_batch
