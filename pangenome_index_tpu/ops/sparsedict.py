@@ -135,6 +135,8 @@ def lookup_read_windows(keys: np.ndarray, read_keys: np.ndarray,
     read keys themselves). Queries are sorted first: consecutive probes
     then walk the key array nearly monotonically (cache-resident upper
     levels), measured 2.4x faster than direct random-order lookups."""
+    if len(keys) == 0:  # nothing occurs at this s (tiny index): all miss
+        return np.full(read_keys.shape, -1, np.int32)
     flat = read_keys.reshape(-1).astype(np.int64)
     o = np.argsort(flat, kind="stable")
     ps = np.searchsorted(keys, flat[o])
