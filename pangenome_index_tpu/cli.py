@@ -366,7 +366,8 @@ def cmd_find_mems(args) -> int:
 
             sd_path = (None if args.no_mer_cache
                        else f"{args.ri}.sdict{s_long}.npz")
-            sd_keys, sd_vals = get_sparse_dict(idx, s_long, path=sd_path)
+            sd_keys, sd_vals = get_sparse_dict(idx, s_long, path=sd_path,
+                                               tables=t)
             from .ops.sparsedict import DEVICE_BYTES_CAP
 
             if sd_vals.nbytes > DEVICE_BYTES_CAP:

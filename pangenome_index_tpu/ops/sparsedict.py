@@ -86,6 +86,164 @@ def build_sparse_dict(idx: RIndex, s: int, min_keep: int = 1):
     return keys, np.stack((k, kp, sz), axis=1).astype(dt)
 
 
+#: device-build state columns (one [C, 8] row per frontier entry; 8 keeps
+#: rows 32-byte aligned at int32): key_lo/key_hi split the packed 2-bit key
+#: into 30-bit halves so the whole program stays int32 at n < 2^31 (int64
+#: programs can crash this environment's remote compile helper - PERF.md,
+#: "the int64 m=12 question")
+_COL_KLO, _COL_KHI, _COL_K, _COL_KP, _COL_SZ = range(5)
+_KEY_SPLIT = 15  # bases 0..14 in key_lo (bits 0..29), 15.. in key_hi
+
+
+def _level_step_device(t, state, cnt, level, thresh, kpw):
+    """One frontier level on device: state [C, 8] -> (new_state [C, 8],
+    new_cnt, total_keep). total_keep > C means children were dropped
+    (overflow); the caller re-runs the level at a larger capacity.
+
+    Child order is branch-major with within-branch source order preserved -
+    identical to the host build's concatenation, so keys stay sorted and
+    the final arrays match build_sparse_dict elementwise."""
+    import jax.numpy as jnp
+
+    from .rank import rank6
+
+    C = state.shape[0]
+    dt = state.dtype
+    lane = jnp.arange(C, dtype=jnp.int32)
+    active = lane < cnt
+    k = jnp.where(active, state[:, _COL_K], 0)
+    sz = jnp.where(active, state[:, _COL_SZ], 0)
+    r_k = rank6(t, k)                      # [C, 6]
+    delta = rank6(t, k + sz) - r_k         # [C, 6]
+    # key bit of this level: goes to key_lo below _KEY_SPLIT bases, else hi
+    lvl = jnp.asarray(level, jnp.int32)
+    in_lo = lvl < _KEY_SPLIT
+    sh = jnp.where(in_lo, 2 * lvl, 2 * lvl - 2 * _KEY_SPLIT)
+    out = jnp.zeros_like(state)
+    ncnt = jnp.zeros((), jnp.int32)
+    for b, code in enumerate(BASE_CODES):
+        code = int(code)
+        s2 = delta[:, code]
+        keep = active & (s2 >= thresh)
+        child = jnp.empty_like(state)
+        bbit = jnp.asarray(b, dt) << sh.astype(dt)
+        child = child.at[:, _COL_KLO].set(
+            state[:, _COL_KLO] | jnp.where(in_lo, bbit, 0))
+        child = child.at[:, _COL_KHI].set(
+            state[:, _COL_KHI] | jnp.where(in_lo, 0, bbit))
+        child = child.at[:, _COL_K].set(r_k[:, code] + t.C[code])
+        child = child.at[:, _COL_KP].set(
+            state[:, _COL_KP] + (delta * kpw[code][None, :]).sum(axis=1))
+        child = child.at[:, _COL_SZ].set(s2)
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        # dropped lanes get DISTINCT out-of-bounds slots (5C + lane, past any
+        # kept-but-overflowing dst <= 4C-1) so the unique_indices contract
+        # holds even on collisions; mode="drop" discards everything >= C
+        dst = jnp.where(keep, ncnt + pos, 5 * C + lane)
+        out = out.at[dst].set(child, mode="drop", unique_indices=True)
+        ncnt = ncnt + keep.sum(dtype=jnp.int32)
+    return out, jnp.minimum(ncnt, C), ncnt
+
+
+def build_sparse_dict_device(idx: RIndex, tables, s: int, min_keep: int = 1,
+                             host_levels_max: int = 1 << 14,
+                             capacity: int | None = None, verbose: bool = False):
+    """`build_sparse_dict` with the frontier levels on the TPU.
+
+    The host build's cost is r-driven binary searches with DRAM-latency
+    cache misses (~3 us per rank6 at 72M runs - 33 min at 2.3 Gbp); the
+    device checkpoint rank6 is one 64 B gather + SWAR count at the gather
+    issue rate, so the same frontier runs in seconds. Small levels stay on
+    host (numpy, microseconds) so the device program compiles for at most
+    one or two capacity tiers; capacity grows x4 on demand with overflow
+    detection (total_keep > C re-runs the level - nothing is lost because
+    the input state is kept alive, not donated).
+
+    Exact-equality contract with build_sparse_dict is tested per level
+    count and elementwise (tests/test_sparsedict.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    if not 1 <= s <= MAX_S:
+        raise ValueError(f"s must be in [1, {MAX_S}]")
+    thresh = max(int(min_keep), 1)
+    # ---- host levels (identical math to build_sparse_dict) ----
+    keys = np.zeros(1, np.int64)
+    k = np.zeros(1, np.int64)
+    kp = np.zeros(1, np.int64)
+    sz = np.full(1, idx.n, np.int64)
+    t0 = 0
+    while t0 < s and 4 * len(keys) <= host_levels_max:
+        r_k = idx.rank6(k)
+        delta = idx.rank6(k + sz) - r_k
+        parts = []
+        for b, code in enumerate(BASE_CODES):
+            code = int(code)
+            s2 = delta[:, code]
+            keep = s2 >= thresh
+            parts.append((keys[keep] | (np.int64(b) << (2 * t0)),
+                          (r_k[:, code] + idx.C[code])[keep],
+                          (kp + (KP_WEIGHT[code][None, :] * delta).sum(axis=1))[keep],
+                          s2[keep]))
+        keys = np.concatenate([p[0] for p in parts])
+        k = np.concatenate([p[1] for p in parts])
+        kp = np.concatenate([p[2] for p in parts])
+        sz = np.concatenate([p[3] for p in parts])
+        t0 += 1
+    if t0 == s:
+        dt = np.int32 if idx.n < 2**31 else np.int64
+        return keys, np.stack((k, kp, sz), axis=1).astype(dt)
+    # ---- device levels ----
+    pd = tables.pos_dtype
+    jnp_dt = pd
+    cnt = len(keys)
+    if capacity is None:
+        # empirical entry counts are 1.4-2.4x r (PERF.md round 5); 4x with
+        # on-demand growth covers the tail without recompiles in the common
+        # case
+        capacity = max(4 * cnt, 4 * idx.n_runs, 1 << 12)
+    C = 1 << (int(capacity) - 1).bit_length()
+    step = jax.jit(_level_step_device, static_argnames=())
+    kpw = jnp.asarray(KP_WEIGHT, jnp_dt)
+
+    def pack_state(Cap):
+        st = np.zeros((Cap, 8), dtype=np.int64)
+        st[:cnt, _COL_KLO] = keys[:cnt] & ((1 << (2 * _KEY_SPLIT)) - 1)
+        st[:cnt, _COL_KHI] = keys[:cnt] >> (2 * _KEY_SPLIT)
+        st[:cnt, _COL_K] = k
+        st[:cnt, _COL_KP] = kp
+        st[:cnt, _COL_SZ] = sz
+        return jnp.asarray(st, jnp_dt)
+
+    state = pack_state(C)
+    cnt_dev = jnp.asarray(cnt, jnp.int32)
+    for lvl in range(t0, s):
+        while True:
+            out, new_cnt, total = step(tables, state, cnt_dev,
+                                       jnp.asarray(lvl, jnp.int32),
+                                       jnp.asarray(thresh, jnp_dt), kpw)
+            total = int(total)
+            if total <= C:
+                break
+            # overflow: pad the INPUT state to the next tier and re-run
+            C = 1 << (total - 1).bit_length()
+            if verbose:
+                print(f"sparse dict device: level {lvl} overflow -> "
+                      f"capacity {C}", flush=True)
+            state = jnp.zeros((C, 8), jnp_dt).at[: state.shape[0]].set(state)
+        state, cnt_dev = out, new_cnt
+        if verbose:
+            print(f"sparse dict device: level {lvl + 1}/{s}: {total} entries",
+                  flush=True)
+    cnt = int(cnt_dev)
+    st = np.asarray(jax.device_get(state[:cnt])).astype(np.int64)
+    out_keys = st[:, _COL_KLO] | (st[:, _COL_KHI] << (2 * _KEY_SPLIT))
+    dt = np.int32 if idx.n < 2**31 else np.int64
+    vals = np.ascontiguousarray(
+        st[:, (_COL_K, _COL_KP, _COL_SZ)]).astype(dt)
+    return out_keys, vals
+
+
 def sparse_dict_key(idx: RIndex, s: int, min_keep: int = 1) -> str:
     """Content key of (index, s, min_keep) - the dictionary is a pure
     function of these (same scheme as mertable.mer_table_key)."""
@@ -98,8 +256,13 @@ def sparse_dict_key(idx: RIndex, s: int, min_keep: int = 1) -> str:
     return h.hexdigest()[:16]
 
 
-def get_sparse_dict(idx: RIndex, s: int, path=None, min_keep: int = 1):
-    """Cached build: (keys, vals) persisted at `path` keyed by content."""
+def get_sparse_dict(idx: RIndex, s: int, path=None, min_keep: int = 1,
+                    tables=None):
+    """Cached build: (keys, vals) persisted at `path` keyed by content.
+
+    When device tables are passed the frontier runs on the TPU
+    (build_sparse_dict_device, seconds instead of minutes at scale) with a
+    host fallback on any device/build failure."""
     import os
     import sys
 
@@ -113,7 +276,16 @@ def get_sparse_dict(idx: RIndex, s: int, path=None, min_keep: int = 1):
         except Exception as exc:
             print(f"sparse dict {path}: unreadable ({exc}), rebuilding",
                   file=sys.stderr)
-    keys, vals = build_sparse_dict(idx, s, min_keep)
+    keys = vals = None
+    if tables is not None:
+        try:
+            keys, vals = build_sparse_dict_device(idx, tables, s, min_keep)
+        except Exception as exc:
+            print(f"sparse dict device build failed ({exc!r}); "
+                  "falling back to host build", file=sys.stderr)
+            keys = vals = None
+    if keys is None:
+        keys, vals = build_sparse_dict(idx, s, min_keep)
     if path is not None:
         try:
             tmp = f"{path}.tmp{os.getpid()}"

@@ -62,6 +62,52 @@ def test_get_sparse_dict_cache_roundtrip(idx, tmp_path):
     np.testing.assert_array_equal(v1, v2)
 
 
+@pytest.mark.parametrize("s,min_keep,host_max", [(6, 1, 4), (11, 1, 64),
+                                                 (9, 3, 4), (3, 1, 1 << 14)])
+def test_device_build_equals_host(idx, s, min_keep, host_max):
+    """The on-device frontier build must reproduce the host build
+    elementwise: same sorted keys, same (k, kp, sz) rows - across the
+    host->device switch level, min_keep filtering, and the all-host case
+    (host_max large enough that no device level runs)."""
+    from pangenome_index_tpu.ops.sparsedict import build_sparse_dict_device
+    from pangenome_index_tpu.ops.tables import rindex_to_device
+
+    t = rindex_to_device(idx, checkpoint=True)
+    ref_keys, ref_vals = build_sparse_dict(idx, s, min_keep=min_keep)
+    keys, vals = build_sparse_dict_device(idx, t, s, min_keep=min_keep,
+                                          host_levels_max=host_max)
+    np.testing.assert_array_equal(keys, ref_keys)
+    np.testing.assert_array_equal(vals, ref_vals)
+    assert vals.dtype == ref_vals.dtype
+
+
+def test_device_build_capacity_growth(idx):
+    """Starting from a deliberately undersized capacity, overflow detection
+    must grow tiers and still produce the exact host result."""
+    from pangenome_index_tpu.ops.sparsedict import build_sparse_dict_device
+    from pangenome_index_tpu.ops.tables import rindex_to_device
+
+    t = rindex_to_device(idx, checkpoint=True)
+    ref_keys, ref_vals = build_sparse_dict(idx, 8)
+    keys, vals = build_sparse_dict_device(idx, t, 8, host_levels_max=4,
+                                          capacity=64)
+    np.testing.assert_array_equal(keys, ref_keys)
+    np.testing.assert_array_equal(vals, ref_vals)
+
+
+def test_get_sparse_dict_device_path(idx, tmp_path):
+    """get_sparse_dict(tables=...) routes through the device build and
+    produces the same cached artifact as the host path."""
+    from pangenome_index_tpu.ops.tables import rindex_to_device
+
+    t = rindex_to_device(idx, checkpoint=True)
+    k_host, v_host = get_sparse_dict(idx, 7, path=str(tmp_path / "h.npz"))
+    k_dev, v_dev = get_sparse_dict(idx, 7, path=str(tmp_path / "d.npz"),
+                                   tables=t)
+    np.testing.assert_array_equal(k_dev, k_host)
+    np.testing.assert_array_equal(v_dev, v_host)
+
+
 def test_lookup_read_windows(idx):
     s = 7
     keys, vals = build_sparse_dict(idx, s)
