@@ -78,6 +78,10 @@ def run_scale(name, base_len, n_haps, seed, s):
     np.testing.assert_array_equal(np.asarray(vals_d, np.int64),
                                   np.asarray(vals_h, np.int64))
     row["equal"] = True
+    if not os.path.exists(sd_path):  # persist for bench.py's upgrade phase
+        with open(sd_path, "wb") as fh:
+            np.savez(fh, keys=keys_h, vals=vals_h,
+                     key=sparse_dict_key(idx, s))
     print(json.dumps(row), flush=True)
 
 

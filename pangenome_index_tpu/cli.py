@@ -513,19 +513,46 @@ def cmd_find_mems(args) -> int:
             tpos = np.asarray(tags_res.positions[:, : max(int(tuniq.max()), 1)])
             toflow = np.asarray(tags_res.overflow)
         total_tag_time = time.perf_counter() - tq
-        fi = 0
-        for i in range(len(reads)):
-            print(f"Seq: {i + 1}")
-            for m in range(int(counts[i])):
-                print(f"MEM START: {starts[i, m]}, MEM END: {ends[i, m]} BWT START: {bwts[i, m]} SIZE: {sizes[i, m]}")
-                if toflow[fi]:
-                    vals, _ = tags.query(int(bwts[i, m]), int(bwts[i, m] + sizes[i, m] - 1))
-                else:
+        if n_flat and toflow.any():
+            # resolve device tag-capacity overflows on host (0.0% at the
+            # measured workloads) so emission sees uniform arrays
+            ov = np.flatnonzero(toflow)
+            vals_ov = [tags.query(int(qs[f]), int(qe[f]))[0] for f in ov]
+            wid = max(int(tuniq.max()), max(len(v) for v in vals_ov))
+            if wid > tpos.shape[1]:
+                tpos = np.pad(tpos, ((0, 0), (0, wid - tpos.shape[1])))
+            for f, v in zip(ov, vals_ov):
+                tpos[f, : len(v)] = v
+                tuniq[f] = len(v)
+            toflow[:] = False
+        emitted = False
+        if n_flat:
+            # native formatter (src/cpp/mem_format.cpp): the Python loop
+            # below is ~5.5M print calls at dense workloads (~60s for 1.8M
+            # MEMs); the native path renders the same bytes in well under a
+            # second straight to the stdout fd
+            try:
+                from . import native as _native
+
+                sys.stdout.flush()
+                _native.format_mems_native(
+                    counts, starts[ii, within], ends[ii, within], qs,
+                    sizes[ii, within], tuniq, tpos, sys.stdout.fileno())
+                emitted = True
+            except Exception as exc:
+                print(f"native formatter unavailable ({exc}); "
+                      f"python emission", file=sys.stderr)
+        if not emitted:
+            fi = 0
+            for i in range(len(reads)):
+                print(f"Seq: {i + 1}")
+                for m in range(int(counts[i])):
+                    print(f"MEM START: {starts[i, m]}, MEM END: {ends[i, m]} BWT START: {bwts[i, m]} SIZE: {sizes[i, m]}")
                     vals = tpos[fi, : tuniq[fi]]
-                print(f"Number of unique positions: {len(vals)}")
-                print("".join(f"{v}, " for v in vals))
-                fi += 1
-            print()
+                    print(f"Number of unique positions: {len(vals)}")
+                    print("".join(f"{v}, " for v in vals))
+                    fi += 1
+                print()
 
     print(f"\nTotal time for finding all MEMs: {total_mem_time} seconds")
     print(f"Total time for all tag queries: {total_tag_time} seconds")

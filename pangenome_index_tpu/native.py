@@ -22,7 +22,7 @@ _lib = None
 
 def _build() -> bool:
     srcs = [_SRC / "panindex_native.cpp", _SRC / "sais.cpp", _SRC / "gbwt_decode.cpp",
-            _SRC / "psi_walk.cpp", _SRC / "bitio.cpp"]
+            _SRC / "psi_walk.cpp", _SRC / "bitio.cpp", _SRC / "mem_format.cpp"]
     if not all(s.exists() for s in srcs):
         return False
     if _LIB.exists() and all(_LIB.stat().st_mtime >= s.stat().st_mtime for s in srcs):
@@ -183,6 +183,47 @@ def count_native(idx, codes: np.ndarray, lengths: np.ndarray, n_threads: int = 0
         ctypes.c_int32(n_threads),
     )
     return first, second
+
+
+def format_mems_native(counts: np.ndarray, starts: np.ndarray,
+                       ends: np.ndarray, bwts: np.ndarray, sizes: np.ndarray,
+                       tuniq: np.ndarray | None, tpos: np.ndarray | None,
+                       fd: int) -> int:
+    """Render the find-mems stdout format (src/cpp/mem_format.cpp) straight
+    to `fd` from flat per-MEM arrays: counts [n_reads], starts/ends/bwts/
+    sizes [n_flat], tag positions tpos [n_flat, tstride] with tuniq valid
+    entries per row (None = no tag sections). Returns bytes written.
+
+    Raises RuntimeError when the engine (or, via hasattr, a stale .so
+    without this entry point) is unavailable - callers keep the Python
+    emission loop as the fallback."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "panindex_format_mems"):
+        raise RuntimeError("native formatter unavailable")
+    counts = np.ascontiguousarray(counts, np.int64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    bwts = np.ascontiguousarray(bwts, np.int64)
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    if tuniq is None:
+        tq = tp = None
+        tstride = 0
+    else:
+        tq = np.ascontiguousarray(tuniq, np.int64)
+        tp = np.ascontiguousarray(tpos, np.int64)
+        tstride = tp.shape[1] if tp.ndim == 2 else 0
+    lib.panindex_format_mems.restype = ctypes.c_int64
+    n = lib.panindex_format_mems(
+        ctypes.c_int64(len(counts)), _ptr(counts, ctypes.c_int64),
+        _ptr(starts, ctypes.c_int64), _ptr(ends, ctypes.c_int64),
+        _ptr(bwts, ctypes.c_int64), _ptr(sizes, ctypes.c_int64),
+        None if tq is None else _ptr(tq, ctypes.c_int64),
+        None if tp is None else _ptr(tp, ctypes.c_int64),
+        ctypes.c_int64(tstride), ctypes.c_int(fd),
+    )
+    if n < 0:
+        raise RuntimeError("native formatter write failed")
+    return int(n)
 
 
 def psi_walk_native(run_start: np.ndarray, psi_base: np.ndarray,

@@ -159,3 +159,53 @@ def test_bitio_native_matches_numpy(monkeypatch):
     monkeypatch.setenv("PANIDX_NO_NATIVE_BITIO", "1")
     b.seek(0)
     np.testing.assert_array_equal(sdsl.read_sd_vector(b).positions, pos)
+
+
+def test_format_mems_native_bytes():
+    """The native emission formatter must render byte-identically to the
+    CLI's Python loop - fuzzed shapes including zero-MEM reads, zero-unique
+    tag rows, negative-free int64 values, and the no-tags mode."""
+    import os
+    import tempfile
+
+    from pangenome_index_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        n_reads = int(rng.integers(1, 12))
+        counts = rng.integers(0, 5, n_reads).astype(np.int64)
+        n_flat = int(counts.sum())
+        s = rng.integers(0, 150, n_flat).astype(np.int64)
+        e = s + rng.integers(1, 40, n_flat)
+        b = rng.integers(0, 2**40, n_flat).astype(np.int64)
+        z = rng.integers(1, 10**7, n_flat).astype(np.int64)
+        tstride = 6
+        tuniq = rng.integers(0, tstride + 1, n_flat).astype(np.int64)
+        tpos = rng.integers(0, 2**45, (max(n_flat, 1), tstride)).astype(np.int64)
+        with_tags = trial % 2 == 0
+        # python reference (the CLI loop's exact prints)
+        lines = []
+        fi = 0
+        for i in range(n_reads):
+            lines.append(f"Seq: {i + 1}")
+            for m in range(int(counts[i])):
+                lines.append(f"MEM START: {s[fi]}, MEM END: {e[fi]} "
+                             f"BWT START: {b[fi]} SIZE: {z[fi]}")
+                if with_tags:
+                    vals = tpos[fi, : tuniq[fi]]
+                    lines.append(f"Number of unique positions: {len(vals)}")
+                    lines.append("".join(f"{v}, " for v in vals))
+                fi += 1
+            lines.append("")
+        ref = ("\n".join(lines) + "\n").encode()
+        with tempfile.TemporaryFile() as fh:
+            n = native.format_mems_native(
+                counts, s, e, b, z, tuniq if with_tags else None,
+                tpos if with_tags else None, fh.fileno())
+            fh.seek(0)
+            got = fh.read()
+        assert got == ref and n == len(ref)
