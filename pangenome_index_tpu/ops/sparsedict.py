@@ -98,7 +98,7 @@ _KEY_SPLIT = 15  # bases 0..14 in key_lo (bits 0..29), 15.. in key_hi
 def _level_step_device(t, state, cnt, level, thresh, kpw):
     """One frontier level on device: state [C, 8] -> (new_state [C, 8],
     new_cnt, total_keep). total_keep > C means children were dropped
-    (overflow); the caller re-runs the level at a larger capacity.
+    (overflow); the caller re-runs the whole device phase at 4x capacity.
 
     Child order is branch-major with within-branch source order preserved -
     identical to the host build's concatenation, so keys stay sorted and
@@ -145,6 +145,35 @@ def _level_step_device(t, state, cnt, level, thresh, kpw):
     return out, jnp.minimum(ncnt, C), ncnt
 
 
+#: device-phase state bytes cap: past this the fused program's [C, 8] state
+#: (x2 for the loop's double buffer) would crowd serving HBM - callers fall
+#: back to the host build (override: PANIDX_SDICT_BUILD_MAX_BYTES)
+BUILD_BYTES_CAP = int(__import__("os").environ.get(
+    "PANIDX_SDICT_BUILD_MAX_BYTES", 3 << 30))
+
+
+def _run_levels_device(tables, state, cnt, t0, s, thresh, kpw):
+    """All device levels in ONE program (jitted per (C, s - t0) shape):
+    per-level host syncs cost seconds each over this environment's TPU
+    tunnel and dominated the v1 per-level-dispatch build (85 s where the
+    host build takes 22 s - PERF.md round 5). Returns (state, cnt,
+    overflowed); on overflow some children were dropped, so the caller
+    restarts the device phase at 4x capacity."""
+    import jax
+    import jax.numpy as jnp
+
+    C = state.shape[0]
+
+    def body(i, carry):
+        st, cnt, ovf = carry
+        out, ncnt, total = _level_step_device(tables, st, cnt, t0 + i,
+                                              thresh, kpw)
+        return out, ncnt, ovf | (total > C)
+
+    return jax.lax.fori_loop(0, s - t0, body,
+                             (state, cnt, jnp.zeros((), jnp.bool_)))
+
+
 def build_sparse_dict_device(idx: RIndex, tables, s: int, min_keep: int = 1,
                              host_levels_max: int = 1 << 14,
                              capacity: int | None = None, verbose: bool = False):
@@ -153,11 +182,11 @@ def build_sparse_dict_device(idx: RIndex, tables, s: int, min_keep: int = 1,
     The host build's cost is r-driven binary searches with DRAM-latency
     cache misses (~3 us per rank6 at 72M runs - 33 min at 2.3 Gbp); the
     device checkpoint rank6 is one 64 B gather + SWAR count at the gather
-    issue rate, so the same frontier runs in seconds. Small levels stay on
-    host (numpy, microseconds) so the device program compiles for at most
-    one or two capacity tiers; capacity grows x4 on demand with overflow
-    detection (total_keep > C re-runs the level - nothing is lost because
-    the input state is kept alive, not donated).
+    issue rate. Small levels stay on host (numpy, microseconds) so the
+    device program compiles once; all remaining levels run in a single
+    fused dispatch (_run_levels_device) with ONE host sync at the end.
+    Capacity defaults to ~2.5x r (empirical entry counts are 1.4-2.4x r,
+    PERF.md round 5); overflow restarts the device phase at 4x.
 
     Exact-equality contract with build_sparse_dict is tested per level
     count and elementwise (tests/test_sparsedict.py)."""
@@ -193,17 +222,18 @@ def build_sparse_dict_device(idx: RIndex, tables, s: int, min_keep: int = 1,
     if t0 == s:
         dt = np.int32 if idx.n < 2**31 else np.int64
         return keys, np.stack((k, kp, sz), axis=1).astype(dt)
-    # ---- device levels ----
+    # ---- device levels (fused dispatches) ----
     pd = tables.pos_dtype
     jnp_dt = pd
     cnt = len(keys)
     if capacity is None:
-        # empirical entry counts are 1.4-2.4x r (PERF.md round 5); 4x with
-        # on-demand growth covers the tail without recompiles in the common
-        # case
-        capacity = max(4 * cnt, 4 * idx.n_runs, 1 << 12)
+        # entry counts measure 1.4-2.4x r (PERF.md round 5); 1.7x before
+        # pow2 rounding covers every measured config, overflow restarts at
+        # 4x for the tail
+        capacity = max(4 * cnt, (17 * idx.n_runs) // 10, 1 << 12)
     C = 1 << (int(capacity) - 1).bit_length()
-    step = jax.jit(_level_step_device, static_argnames=())
+    itemsize = np.dtype(np.int32 if jnp_dt == jnp.int32 else np.int64).itemsize
+    run = jax.jit(_run_levels_device, static_argnames=("t0", "s"))
     kpw = jnp.asarray(KP_WEIGHT, jnp_dt)
 
     def pack_state(Cap):
@@ -215,27 +245,40 @@ def build_sparse_dict_device(idx: RIndex, tables, s: int, min_keep: int = 1,
         st[:cnt, _COL_SZ] = sz
         return jnp.asarray(st, jnp_dt)
 
-    state = pack_state(C)
-    cnt_dev = jnp.asarray(cnt, jnp.int32)
-    for lvl in range(t0, s):
-        while True:
-            out, new_cnt, total = step(tables, state, cnt_dev,
-                                       jnp.asarray(lvl, jnp.int32),
-                                       jnp.asarray(thresh, jnp_dt), kpw)
-            total = int(total)
-            if total <= C:
-                break
-            # overflow: pad the INPUT state to the next tier and re-run
-            C = 1 << (total - 1).bit_length()
-            if verbose:
-                print(f"sparse dict device: level {lvl} overflow -> "
-                      f"capacity {C}", flush=True)
-            state = jnp.zeros((C, 8), jnp_dt).at[: state.shape[0]].set(state)
-        state, cnt_dev = out, new_cnt
+    # levels producing <= 4^PA_LVL entries run at a small fixed capacity
+    # (overflow-impossible: cnt_t <= 4^t), so the big-C program only covers
+    # the plateau levels - the early levels no longer pay C-lane work
+    PA_LVL = 10
+    Ca = 1 << (2 * PA_LVL)
+    while True:
+        if 2 * C * 8 * itemsize > BUILD_BYTES_CAP:
+            raise MemoryError(
+                f"sparse dict device build state 2x{C}x8x{itemsize}B exceeds "
+                f"the {BUILD_BYTES_CAP >> 30} GB budget "
+                f"(PANIDX_SDICT_BUILD_MAX_BYTES overrides)")
+        tA = min(PA_LVL, s)
+        thresh_dev = jnp.asarray(thresh, jnp_dt)
+        cnt_dev = jnp.asarray(cnt, jnp.int32)
+        if t0 < tA and Ca < C:
+            state, cnt_dev, _ = run(tables, pack_state(Ca), cnt_dev,
+                                    t0, tA, thresh_dev, kpw)
+            state = jnp.zeros((C, 8), jnp_dt).at[:Ca].set(state)
+            tB = tA
+        else:
+            state = pack_state(C)
+            tB = t0
+        ovf = False
+        if tB < s:
+            state, cnt_dev, ovf = run(tables, state, cnt_dev, tB, s,
+                                      thresh_dev, kpw)
+        if not bool(ovf):
+            break
+        C *= 4  # some level dropped children: restart the device phase
         if verbose:
-            print(f"sparse dict device: level {lvl + 1}/{s}: {total} entries",
-                  flush=True)
+            print(f"sparse dict device: overflow -> capacity {C}", flush=True)
     cnt = int(cnt_dev)
+    if verbose:
+        print(f"sparse dict device: {cnt} entries at capacity {C}", flush=True)
     st = np.asarray(jax.device_get(state[:cnt])).astype(np.int64)
     out_keys = st[:, _COL_KLO] | (st[:, _COL_KHI] << (2 * _KEY_SPLIT))
     dt = np.int32 if idx.n < 2**31 else np.int64
