@@ -65,7 +65,8 @@ def xla_gather_loop(T, idx):
         idx, acc = carry
         rows = T[idx]
         acc = acc + rows[:, 0]
-        idx = ((rows[:, 0] ^ (idx * 2654435761)) + i) % R
+        mixed = (rows[:, 0] ^ (idx * 40503)) + i  # int32-safe hash mix
+        idx = jnp.remainder(mixed, R)             # non-negative for R > 0
         return idx, acc
 
     idx, acc = jax.lax.fori_loop(0, ITERS, body,
