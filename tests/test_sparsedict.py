@@ -95,6 +95,25 @@ def test_device_build_capacity_growth(idx):
     np.testing.assert_array_equal(vals, ref_vals)
 
 
+def test_device_build_budget_guard(idx, tmp_path, monkeypatch):
+    """Past the HBM budget the device build must refuse (MemoryError) and
+    get_sparse_dict must fall back to the host build transparently."""
+    import pytest as _pytest
+
+    from pangenome_index_tpu.ops import sparsedict as sd
+    from pangenome_index_tpu.ops.tables import rindex_to_device
+
+    t = rindex_to_device(idx, checkpoint=True)
+    monkeypatch.setattr(sd, "BUILD_BYTES_CAP", 1024)
+    with _pytest.raises(MemoryError):
+        sd.build_sparse_dict_device(idx, t, 8, host_levels_max=4)
+    ref_keys, ref_vals = build_sparse_dict(idx, 8)
+    keys, vals = sd.get_sparse_dict(idx, 8, path=str(tmp_path / "g.npz"),
+                                    tables=t)
+    np.testing.assert_array_equal(keys, ref_keys)
+    np.testing.assert_array_equal(vals, ref_vals)
+
+
 def test_get_sparse_dict_device_path(idx, tmp_path):
     """get_sparse_dict(tables=...) routes through the device build and
     produces the same cached artifact as the host path."""
