@@ -272,13 +272,24 @@ def get_mer_table(idx: RIndex, m: int, path=None, tables=None,
         (lambda mt: None))
     if min_m is None:
         min_m = max(m - 2, 4)
+    import os as _os
+
     import jax
 
     on_device = jax.default_backend() != "cpu"
+    # past this size the npz cache is a net LOSS on a device backend: the
+    # d2h fetch + disk write on save and the disk read + h2d transfer on
+    # load (3.2 GB at m=14 - the transfer that blew driver timeouts in
+    # round 3) all cost more than the ~12 s on-device rebuild, so big
+    # tables skip the cache entirely and rebuild per process
+    fetch_max = int(_os.environ.get("PANIDX_MER_CACHE_FETCH_MAX", 1 << 30))
     tried_host = False
     for m_try in range(m, min_m - 1, -1):
         key = mer_table_key(idx, m_try)
         mpath = path_fn(m_try)
+        if on_device and mpath is not None and \
+                (4 ** m_try) * 3 * (8 if idx.n >= 2**31 else 4) > fetch_max:
+            mpath = None
         if mpath is not None:
             try:
                 with np.load(mpath, allow_pickle=False) as z:
