@@ -412,8 +412,12 @@ def cmd_find_mems(args) -> int:
         if mer_kw.get("mer_table") is not None and len(reads) > B:
             from .ops.mertable import seed_difficulty
 
-            proxy = seed_difficulty(mt_np, mk, mv, args.min_occ,
-                                    lengths=lens, m=mer_m)
+            # mt_np is None when the table skipped the npz cache (big-table
+            # device rebuild): index the device table then - one [B, L]
+            # gather + small fetch, not a multi-GB table transfer
+            proxy = np.asarray(seed_difficulty(
+                mt_np if mt_np is not None else mer_kw["mer_table"],
+                mk, mv, args.min_occ, lengths=lens, m=mer_m))
             order = np.argsort(proxy, kind="stable")
             codes, lens = codes[order], lens[order]
             mer_kw["mer_keys"] = jnp.asarray(mk[order])

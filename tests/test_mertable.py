@@ -302,3 +302,30 @@ def test_serve_measure_sdict_and_tags(ref_data):
         _, tuniq, _ = native.query_tags_native(tags, qs, qe, capacity=256)
         ok = ~m["tag_ov"][ii, w]
         np.testing.assert_array_equal(tuniq[ok], m["tag_nu"][ii, w][ok])
+
+
+def test_seed_difficulty_device_table_matches_host(ref_data):
+    """seed_difficulty must accept a device (jax) mer table and produce the
+    host result - the CLI's work-sorted chunking uses the device table
+    directly when a big table skips the npz cache (get_mer_table returns
+    table_np=None)."""
+    import jax.numpy as jnp
+
+    from pangenome_index_tpu.formats.rlbwt import read_rlbwt
+    from pangenome_index_tpu.models.rindex import build_rindex
+    from pangenome_index_tpu.ops.mertable import (build_mer_table,
+                                                  read_mer_keys,
+                                                  seed_difficulty)
+
+    idx = build_rindex(read_rlbwt(
+        ref_data / "bidirectional_test/contigs_xy.rl_bwt"))
+    m = 6
+    mt = build_mer_table(idx, m)
+    rng = np.random.default_rng(2)
+    codes = rng.integers(1, 6, (8, 40)).astype(np.int32)
+    lens = rng.integers(10, 41, 8).astype(np.int32)
+    mk, mv = read_mer_keys(codes, lens, m)
+    host = seed_difficulty(mt, mk, mv, 2, lengths=lens, m=m)
+    dev = np.asarray(seed_difficulty(jnp.asarray(mt), mk, mv, 2,
+                                     lengths=lens, m=m))
+    np.testing.assert_array_equal(np.asarray(host), dev)
