@@ -94,6 +94,8 @@ def build_sparse_dict(idx: RIndex, s: int, min_keep: int = 1):
 _COL_KLO, _COL_KHI, _COL_K, _COL_KP, _COL_SZ = range(5)
 _KEY_SPLIT = 15  # bases 0..14 in key_lo (bits 0..29), 15.. in key_hi
 
+_level_step_jit = None  # lazily-jitted _level_step_device (one per C shape)
+
 
 def _level_step_device(t, state, cnt, level, thresh, kpw):
     """One frontier level on device: state [C, 8] -> (new_state [C, 8],
@@ -153,25 +155,29 @@ BUILD_BYTES_CAP = int(__import__("os").environ.get(
 
 
 def _run_levels_device(tables, state, cnt, t0, s, thresh, kpw):
-    """All device levels in ONE program (jitted per (C, s - t0) shape):
-    per-level host syncs cost seconds each over this environment's TPU
-    tunnel and dominated the v1 per-level-dispatch build (85 s where the
-    host build takes 22 s - PERF.md round 5). Returns (state, cnt,
-    overflowed); on overflow some children were dropped, so the caller
-    restarts the device phase at 4x capacity."""
+    """Device levels as CHAINED per-level dispatches with ONE sync at the
+    end. Two environment lessons are baked in (PERF.md round 5): a blocking
+    count fetch per level costs seconds each over the TPU tunnel (the 85 s
+    v1), but a single fused program running minutes on-device gets the
+    worker killed at big capacities (the 600 Mbp crash) - so each level is
+    its own ~seconds dispatch, intermediate state stays on device, and
+    only the accumulated overflow flag is ever fetched. Returns (state,
+    cnt, overflowed-flag device scalar); on overflow some children were
+    dropped and the caller restarts the device phase at 4x capacity."""
     import jax
     import jax.numpy as jnp
 
+    global _level_step_jit
+    if _level_step_jit is None:
+        _level_step_jit = jax.jit(_level_step_device)
     C = state.shape[0]
-
-    def body(i, carry):
-        st, cnt, ovf = carry
-        out, ncnt, total = _level_step_device(tables, st, cnt, t0 + i,
-                                              thresh, kpw)
-        return out, ncnt, ovf | (total > C)
-
-    return jax.lax.fori_loop(0, s - t0, body,
-                             (state, cnt, jnp.zeros((), jnp.bool_)))
+    step = _level_step_jit
+    ovf = jnp.zeros((), jnp.bool_)
+    for lvl in range(t0, s):
+        state, cnt, total = step(tables, state, cnt,
+                                 jnp.asarray(lvl, jnp.int32), thresh, kpw)
+        ovf = ovf | (total > C)
+    return state, cnt, ovf
 
 
 def build_sparse_dict_device(idx: RIndex, tables, s: int, min_keep: int = 1,
@@ -233,7 +239,7 @@ def build_sparse_dict_device(idx: RIndex, tables, s: int, min_keep: int = 1,
         capacity = max(4 * cnt, (17 * idx.n_runs) // 10, 1 << 12)
     C = 1 << (int(capacity) - 1).bit_length()
     itemsize = np.dtype(np.int32 if jnp_dt == jnp.int32 else np.int64).itemsize
-    run = jax.jit(_run_levels_device, static_argnames=("t0", "s"))
+    run = _run_levels_device
     kpw = jnp.asarray(KP_WEIGHT, jnp_dt)
 
     def pack_state(Cap):
