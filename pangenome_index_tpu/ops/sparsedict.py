@@ -188,11 +188,13 @@ def build_sparse_dict_device(idx: RIndex, tables, s: int, min_keep: int = 1,
     The host build's cost is r-driven binary searches with DRAM-latency
     cache misses (~3 us per rank6 at 72M runs - 33 min at 2.3 Gbp); the
     device checkpoint rank6 is one 64 B gather + SWAR count at the gather
-    issue rate. Small levels stay on host (numpy, microseconds) so the
-    device program compiles once; all remaining levels run in a single
-    fused dispatch (_run_levels_device) with ONE host sync at the end.
-    Capacity defaults to ~2.5x r (empirical entry counts are 1.4-2.4x r,
-    PERF.md round 5); overflow restarts the device phase at 4x.
+    issue rate. Small levels stay on host (numpy, microseconds) so at most
+    two device programs ever compile (the fixed 1M-lane early-level
+    capacity and the plateau capacity); levels then run as per-level
+    dispatches chained on device with ONE host sync at the end
+    (_run_levels_device). Capacity defaults to ~1.7x r pow2-rounded
+    (empirical entry counts are 1.4-2.4x r, PERF.md round 5); overflow
+    restarts the device phase at 4x.
 
     Exact-equality contract with build_sparse_dict is tested per level
     count and elementwise (tests/test_sparsedict.py)."""
