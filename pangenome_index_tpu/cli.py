@@ -101,6 +101,38 @@ def _resolve_mer_len(arg: int, min_len: int, n: int) -> int:
     return m if m >= 4 else 0
 
 
+def cmd_build_sdict(args) -> int:
+    """Prebuild the sparse long-seed dictionary artifact for an index.
+
+    `find-mems --long-seed` builds and caches it on demand; this command
+    materializes the same content-keyed artifact ahead of deployment (the
+    reference's separate-build-step model, cf. its build_rindex/build_tags
+    split). Uses the device frontier build when an accelerator is present,
+    host otherwise - identical bytes either way."""
+    from .formats import ri
+    from .ops.sparsedict import get_sparse_dict
+
+    idx = ri.load_file(args.ri, use_mmap=True)
+    s = args.s if args.s > 0 else min(args.min_len - 1, 31)
+    out = args.output or f"{args.ri}.sdict{s}.npz"
+    tables = None
+    if args.engine == "device":
+        _setup_compile_cache()
+        import jax
+
+        if jax.default_backend() != "cpu":
+            from .ops.tables import rindex_to_device
+
+            tables = rindex_to_device(idx, checkpoint=True, mem_only=True)
+    t0 = time.perf_counter()
+    keys, vals = get_sparse_dict(idx, s, path=out, min_keep=args.min_keep,
+                                 tables=tables)
+    print(f"sparse dict s={s}: {len(keys)} entries, "
+          f"{(keys.nbytes + vals.nbytes) >> 20} MB -> {out} "
+          f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+    return 0
+
+
 def cmd_build_rindex(args) -> int:
     from .formats import ri
     from .formats.rlbwt import read_rlbwt
@@ -857,6 +889,19 @@ def main(argv=None) -> int:
                             "no magic; auto-detection is structural and can "
                             "be overridden for ambiguous payloads)")
         q.set_defaults(fn=fn)
+
+    bs = sub.add_parser("build-sdict")
+    bs.add_argument("ri")
+    bs.add_argument("-o", "--output", default=None,
+                    help="artifact path (default <ri>.sdict<s>.npz - the "
+                         "path find-mems --long-seed reads)")
+    bs.add_argument("-s", type=int, default=0,
+                    help="window length (default min(min_len-1, 31))")
+    bs.add_argument("--min-len", type=int, default=20,
+                    help="serving min MEM length the dictionary targets")
+    bs.add_argument("--min-keep", type=int, default=1)
+    bs.add_argument("--engine", choices=["device", "host"], default="device")
+    bs.set_defaults(fn=cmd_build_sdict)
 
     s = sub.add_parser("print-stats")
     s.add_argument("ri")

@@ -287,3 +287,25 @@ def test_resolve_mer_len_scales_with_index_size():
     for n in (10**5, 4 * 10**6, 2 * 10**9):
         m = _resolve_mer_len(-1, 99, n)
         assert 4 ** m <= 128 * n
+
+
+def test_build_sdict_artifact(ref_data, tmp_path):
+    """build-sdict materializes the exact content-keyed artifact the
+    find-mems --long-seed path builds on demand."""
+    import numpy as np
+
+    from pangenome_index_tpu.formats import ri
+    from pangenome_index_tpu.ops.sparsedict import (build_sparse_dict,
+                                                    sparse_dict_key)
+
+    ref = ref_data / "bidirectional_test"
+    out = tmp_path / "xy.sdict.npz"
+    r = run(["build-sdict", str(ref / "xy.ri"), "-s", "9",
+             "-o", str(out)], tmp_path)
+    assert "entries" in r.stderr.decode()
+    idx = ri.load_file(str(ref / "xy.ri"))
+    with np.load(out, allow_pickle=False) as z:
+        assert str(z["key"]) == sparse_dict_key(idx, 9)
+        keys, vals = build_sparse_dict(idx, 9)
+        np.testing.assert_array_equal(z["keys"], keys)
+        np.testing.assert_array_equal(z["vals"], vals)
