@@ -213,7 +213,9 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
         np.asarray(mer_table[:4])  # host fetch = real sync (block_until_ready
         # is a no-op under the axon backend), so the timing covers device work
         mer_setup_s = time.perf_counter() - t0
-        mk, mv = read_mer_keys(codes, lens, mer_m)
+        from pangenome_index_tpu.ops.mertable import read_mer_keys_fast
+
+        mk, mv = read_mer_keys_fast(codes, lens, mer_m)
         mer_keys = jax.device_put(jnp.asarray(mk), dev)
         mer_valid = jax.device_put(jnp.asarray(mv), dev)
         log(f"[bench] mer table m={mer_m} ready in {time.perf_counter()-t0:.1f}s")
@@ -232,11 +234,10 @@ def serve_measure(idx, codes, lens, min_len=MIN_LEN, min_occ=MIN_OCC,
         order = np.arange(n_reads)  # unseeded: no difficulty proxy to sort by
         mer_kw = {}
     if sdict is not None:
-        from pangenome_index_tpu.ops.sparsedict import lookup_read_windows
+        from pangenome_index_tpu.ops.sparsedict import read_windows_fast
 
         keys_sd, vals_sd, s_sd = sdict
-        rk, rv = read_mer_keys(codes, lens, s_sd)
-        di = lookup_read_windows(keys_sd, rk, rv)
+        rk, rv, di = read_windows_fast(codes, lens, s_sd, keys_sd)
         hit_frac = (di >= 0).sum() / max(rv.sum(), 1)
         log(f"[bench] long-seed dict s={s_sd}: {len(keys_sd)} entries, "
             f"window hit rate {hit_frac:.1%}")

@@ -249,7 +249,7 @@ def cmd_find_mems(args) -> int:
         mer_m = _resolve_mer_len(args.mer_len, args.min_len, idx.n)
         mer_args = ()
         if mer_m:
-            from .ops.mertable import get_mer_table, read_mer_keys
+            from .ops.mertable import get_mer_table, read_mer_keys_fast
 
             mt_np, mt_dev, mer_m = get_mer_table(
                 idx, mer_m, path=None if args.no_mer_cache
@@ -257,13 +257,12 @@ def cmd_find_mems(args) -> int:
             if mt_np is None:  # cache-less device build: fetch for resharding
                 mt_np = np.asarray(mt_dev)
             del mt_dev  # free the single-chip copy before t_pad lands
-            mk, mv = read_mer_keys(codes, lens, mer_m)
+            mk, mv = read_mer_keys_fast(codes, lens, mer_m)
         s_long = _resolve_long_seed(getattr(args, "long_seed", 0),
                                     args.min_len, mer_m)
         sd_vals = None
         if s_long:
-            from .ops.mertable import read_mer_keys as _rmk
-            from .ops.sparsedict import get_sparse_dict, lookup_read_windows
+            from .ops.sparsedict import get_sparse_dict, read_windows_fast
 
             sd_keys, sd_vals = get_sparse_dict(
                 idx, s_long, path=None if args.no_mer_cache
@@ -275,7 +274,7 @@ def cmd_find_mems(args) -> int:
                       f"only (PANIDX_SDICT_MAX_BYTES overrides)", file=sys.stderr)
                 s_long, sd_vals = 0, None
             else:
-                di = lookup_read_windows(sd_keys, *_rmk(codes, lens, s_long))
+                _, _, di = read_windows_fast(codes, lens, s_long, sd_keys)
         # the two-level ckpt layout (ops/tables.py) serves any n now; the
         # rows stay int32 (superblock-relative) at n >= 2^31
         use_ckpt = args.rank_mode == "checkpoint"
@@ -370,7 +369,7 @@ def cmd_find_mems(args) -> int:
         mer_kw = {}
         mer_m = _resolve_mer_len(args.mer_len, args.min_len, idx.n)
         if mer_m:
-            from .ops.mertable import get_mer_table, read_mer_keys
+            from .ops.mertable import get_mer_table, read_mer_keys_fast
 
             # the table is a pure function of (index, m): persist it next to
             # the index so serving pays the expansion once per index, not
@@ -383,7 +382,7 @@ def cmd_find_mems(args) -> int:
                 else (lambda m: f"{args.ri}.mer{m}.npz"), tables=t)
             mt = (mt_dev if mt_dev is not None
                   else jnp.asarray(mt_np, t.run_start.dtype))
-            mk, mv = read_mer_keys(codes, lens, mer_m)
+            mk, mv = read_mer_keys_fast(codes, lens, mer_m)
             mer_kw = dict(mer_table=mt, mer_keys=jnp.asarray(mk),
                           mer_valid=jnp.asarray(mv), mer_m=mer_m)
         s_long = _resolve_long_seed(getattr(args, "long_seed", 0),
@@ -393,8 +392,7 @@ def cmd_find_mems(args) -> int:
             # sparse long-seed tier: one host searchsorted per read window,
             # then step-1 entries collapse to ONE stepwise extension
             # (ops/sparsedict.py; cached next to the index like the table)
-            from .ops.mertable import read_mer_keys as _rmk
-            from .ops.sparsedict import get_sparse_dict, lookup_read_windows
+            from .ops.sparsedict import get_sparse_dict, read_windows_fast
 
             sd_path = (None if args.no_mer_cache
                        else f"{args.ri}.sdict{s_long}.npz")
@@ -409,7 +407,7 @@ def cmd_find_mems(args) -> int:
                       f"(PANIDX_SDICT_MAX_BYTES overrides)", file=sys.stderr)
                 di = None
             else:
-                di = lookup_read_windows(sd_keys, *_rmk(codes, lens, s_long))
+                _, _, di = read_windows_fast(codes, lens, s_long, sd_keys)
                 mer_kw.update(sdict_vals=jnp.asarray(sd_vals),
                               sdict_idx=jnp.asarray(di), sdict_m=s_long)
         tm = time.perf_counter()

@@ -22,7 +22,8 @@ _lib = None
 
 def _build() -> bool:
     srcs = [_SRC / "panindex_native.cpp", _SRC / "sais.cpp", _SRC / "gbwt_decode.cpp",
-            _SRC / "psi_walk.cpp", _SRC / "bitio.cpp", _SRC / "mem_format.cpp"]
+            _SRC / "psi_walk.cpp", _SRC / "bitio.cpp", _SRC / "mem_format.cpp",
+            _SRC / "read_windows.cpp"]
     if not all(s.exists() for s in srcs):
         return False
     if _LIB.exists() and all(_LIB.stat().st_mtime >= s.stat().st_mtime for s in srcs):
@@ -224,6 +225,66 @@ def format_mems_native(counts: np.ndarray, starts: np.ndarray,
     if n < 0:
         raise RuntimeError("native formatter write failed")
     return int(n)
+
+
+def window_radix_native(dict_keys: np.ndarray, s: int, bits: int = 20):
+    """Bucket-start table over the dictionary keys' high bits (one-time per
+    loaded dictionary; src/cpp/read_windows.cpp). Returns (lo [2^bits + 1]
+    int64, shift) for read_windows_native."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "panindex_window_radix"):
+        raise RuntimeError("native window engine unavailable")
+    dict_keys = np.ascontiguousarray(dict_keys, np.int64)
+    shift = max(0, 2 * int(s) - bits)
+    lo = np.zeros((1 << bits) + 1, np.int64)
+    lib.panindex_window_radix(
+        _ptr(dict_keys, ctypes.c_int64), ctypes.c_int64(len(dict_keys)),
+        ctypes.c_int64(shift), ctypes.c_int64(1 << bits),
+        _ptr(lo, ctypes.c_int64))
+    return lo, shift
+
+
+def read_windows_native(codes: np.ndarray, lengths: np.ndarray, m: int,
+                        dict_keys: np.ndarray | None = None,
+                        radix=None, n_threads: int = 0):
+    """read_mer_keys (+ lookup_read_windows when dict_keys is given) in one
+    OpenMP pass (src/cpp/read_windows.cpp): (keys [B, L+1], valid [B, L+1],
+    idx [B, L+1] or None). Bit-identical to the numpy forms (fuzz-tested);
+    `radix` is (lo, shift) from window_radix_native (built here if omitted)."""
+    from .ops.mertable import CODE_TO_BASE
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "panindex_read_windows"):
+        raise RuntimeError("native window engine unavailable")
+    codes = np.ascontiguousarray(codes, np.int32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    B, L = codes.shape
+    c2b = np.ascontiguousarray(CODE_TO_BASE, np.int8)
+    keys = np.zeros((B, L + 1), np.int64)
+    valid = np.zeros((B, L + 1), np.uint8)
+    idx = None
+    dk_ptr = rl_ptr = None
+    n_keys = shift = 0
+    if dict_keys is not None and len(dict_keys):
+        dict_keys = np.ascontiguousarray(dict_keys, np.int64)
+        if radix is None:
+            radix = window_radix_native(dict_keys, m)
+        rlo, shift = radix
+        rlo = np.ascontiguousarray(rlo, np.int64)
+        dk_ptr = _ptr(dict_keys, ctypes.c_int64)
+        rl_ptr = _ptr(rlo, ctypes.c_int64)
+        n_keys = len(dict_keys)
+        idx = np.full((B, L + 1), -1, np.int32)
+    lib.panindex_read_windows(
+        _ptr(codes, ctypes.c_int32), _ptr(lengths, ctypes.c_int32),
+        ctypes.c_int64(B), ctypes.c_int64(L), ctypes.c_int64(m),
+        _ptr(c2b, ctypes.c_int8), ctypes.c_int64(len(c2b)),
+        dk_ptr, ctypes.c_int64(n_keys), rl_ptr, ctypes.c_int64(shift),
+        _ptr(keys, ctypes.c_int64), _ptr(valid, ctypes.c_uint8),
+        None if idx is None else _ptr(idx, ctypes.c_int32),
+        ctypes.c_int32(n_threads))
+    return (keys.astype(np.int32 if m <= 15 else np.int64),
+            valid.astype(bool), idx)
 
 
 def psi_walk_native(run_start: np.ndarray, psi_base: np.ndarray,

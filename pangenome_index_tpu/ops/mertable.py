@@ -380,6 +380,20 @@ def seed_difficulty(mer_table, keys, valid, min_occ, lengths=None, m=None):
     return bad + in_read - valid.sum(axis=1)
 
 
+def read_mer_keys_fast(codes: np.ndarray, lengths: np.ndarray, m: int):
+    """read_mer_keys through the native OpenMP pass when available
+    (src/cpp/read_windows.cpp; bit-identical, fuzz-tested) - the rolling
+    numpy scan costs ~0.56 s per 16384x150 bp batch of serving host
+    precompute, the native pass milliseconds."""
+    try:
+        from .. import native
+
+        k, v, _ = native.read_windows_native(codes, lengths, m)
+        return k, v
+    except Exception:
+        return read_mer_keys(codes, lengths, m)
+
+
 def read_mer_keys(codes: np.ndarray, lengths: np.ndarray, m: int):
     """Per-position rolling m-mer keys for a read batch.
 

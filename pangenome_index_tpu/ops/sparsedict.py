@@ -348,6 +348,27 @@ def get_sparse_dict(idx: RIndex, s: int, path=None, min_keep: int = 1,
     return keys, vals
 
 
+def read_windows_fast(codes: np.ndarray, lengths: np.ndarray, s: int,
+                      dict_keys: np.ndarray):
+    """(keys, valid, dict row idx) in one native OpenMP pass when available
+    (src/cpp/read_windows.cpp: rolling keys + radix-bucketed lookups;
+    bit-identical to read_mer_keys + lookup_read_windows, fuzz-tested).
+    The numpy pair costs ~1.25 s per 16384x150 bp batch single-threaded -
+    the pipelined-serving host ceiling on small hosts (PERF.md)."""
+    from .mertable import read_mer_keys
+
+    try:
+        from .. import native
+
+        if len(dict_keys) == 0:
+            raise RuntimeError("empty dictionary: numpy path handles it")
+        return native.read_windows_native(codes, lengths, s,
+                                          dict_keys=dict_keys)
+    except Exception:
+        rk, rv = read_mer_keys(codes, lengths, s)
+        return rk, rv, lookup_read_windows(dict_keys, rk, rv)
+
+
 def lookup_read_windows(keys: np.ndarray, read_keys: np.ndarray,
                         read_valid: np.ndarray) -> np.ndarray:
     """Dictionary row index per read window (-1 = absent/invalid).

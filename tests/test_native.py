@@ -209,3 +209,39 @@ def test_format_mems_native_bytes():
             fh.seek(0)
             got = fh.read()
         assert got == ref and n == len(ref)
+
+
+def test_read_windows_native_matches_numpy():
+    """Native rolling window keys + dictionary lookups must be bit-identical
+    to read_mer_keys + lookup_read_windows - including garbage key columns,
+    non-ACGT resets, short reads, and the m>15 int64 regime."""
+    from pangenome_index_tpu import native
+    from pangenome_index_tpu.ops.mertable import read_mer_keys
+    from pangenome_index_tpu.ops.sparsedict import lookup_read_windows
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(9)
+    for m in (6, 15, 19, 31):
+        B, L = 33, 60
+        codes = rng.integers(0, 7, (B, L)).astype(np.int32)  # incl. invalid
+        lens = rng.integers(0, L + 1, B).astype(np.int32)
+        ref_k, ref_v = read_mer_keys(codes, lens, m)
+        # dictionary: a sorted unique subset of the occurring keys + noise
+        occ = np.unique(ref_k[ref_v].astype(np.int64))
+        noise = rng.integers(0, 1 << min(2 * m, 62), 50).astype(np.int64)
+        dk = np.unique(np.concatenate([occ[::2], noise]))
+        ref_i = lookup_read_windows(dk, ref_k, ref_v)
+        keys, valid, idx = native.read_windows_native(codes, lens, m,
+                                                      dict_keys=dk)
+        np.testing.assert_array_equal(keys, ref_k)
+        np.testing.assert_array_equal(valid, ref_v)
+        np.testing.assert_array_equal(idx, ref_i)
+        assert keys.dtype == ref_k.dtype
+        # no-dictionary mode
+        k2, v2, i2 = native.read_windows_native(codes, lens, m)
+        np.testing.assert_array_equal(k2, ref_k)
+        np.testing.assert_array_equal(v2, ref_v)
+        assert i2 is None
